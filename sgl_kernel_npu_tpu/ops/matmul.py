@@ -1,0 +1,232 @@
+"""Quantized matmul family.
+
+Reference parity:
+  csrc/catlass/ (catlass_matmul_basic, softfp8_w8a16_matmul,
+                 softfp8_w8a16_grouped_matmul; op_host/catlass_gmm_fp8.cpp:26-51)
+    -> mm_wfp8a16 / gmm_wfp8a16: bf16 activations x FP8-E4M3-stored weights with
+       per-(128,128)-block fp32 scales, dequantized in-kernel
+       (golden: tests/python/sgl_kernel_npu/test_gmm_wfp8a16.py:8-88)
+  csrc/batch_matmul_transpose/ (README.md:1-16)
+    -> batch_matmul_transpose: [m,b,n] = [m,b,k] x [b,k,n]
+  W8A8 INT8 path of mla_preprocess / fused_deep_moe GMMs
+    -> quant_matmul_int8 / grouped_matmul_int8 with per-token activation scales
+       and per-channel weight scales, int8xint8->int32 on the MXU with a fused
+       dequant epilogue.
+
+TPU design: int8 matmuls hit the MXU natively (int8xint8->int32); dequant is a
+VPU epilogue fused by XLA. The Pallas kernels exist to (a) keep the int32
+accumulator in VMEM across K tiles and (b) fuse per-token/per-channel scaling
+without an extra HBM round-trip. Grouped (MoE) matmuls use one kernel with a
+scalar-prefetched group map per M-tile (megablox-style), with a
+`jax.lax.ragged_dot` reference twin.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import cdiv, interpret_mode, use_pallas
+
+# ------------------------------------------------------------------ W8A8 INT8
+
+
+def quant_matmul_int8_ref(x_q, w_q, x_scale, w_scale, bias=None, out_dtype=jnp.bfloat16):
+    """out = (x_q @ w_q) * x_scale * w_scale (+bias).
+
+    x_q: [M, K] int8, w_q: [K, N] int8, x_scale: [M, 1] f32 (per-token),
+    w_scale: [N] f32 (per-channel).
+    """
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * x_scale * w_scale[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def _w8a8_kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, k_tiles):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == k_tiles - 1)
+    def _():
+        out = acc_ref[...].astype(jnp.float32) * xs_ref[...] * ws_ref[...].astype(jnp.float32)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
+def quant_matmul_int8_pallas(
+    x_q, w_q, x_scale, w_scale, out_dtype=jnp.bfloat16,
+    block_m=256, block_n=256, block_k=512,
+):
+    m, k = x_q.shape
+    _, n = w_q.shape
+    block_m, block_n, block_k = min(block_m, m), min(block_n, n), min(block_k, k)
+    k_tiles = cdiv(k, block_k)
+    grid = (cdiv(m, block_m), cdiv(n, block_n), k_tiles)
+    return pl.pallas_call(
+        partial(_w8a8_kernel, k_tiles=k_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k, bytes_accessed=m * k + k * n + m * n * 2, transcendentals=0
+        ),
+        interpret=interpret_mode(),
+    )(x_q, w_q, x_scale.astype(jnp.float32), w_scale.reshape(1, n))
+
+
+def quant_matmul_int8(x_q, w_q, x_scale, w_scale, bias=None, out_dtype=jnp.bfloat16):
+    if use_pallas() and bias is None and x_q.shape[0] >= 8:
+        return quant_matmul_int8_pallas(x_q, w_q, x_scale, w_scale, out_dtype=out_dtype)
+    return quant_matmul_int8_ref(x_q, w_q, x_scale, w_scale, bias, out_dtype)
+
+
+# ------------------------------------------------------- soft-FP8 W8A16 (blockwise)
+
+
+def _dequant_w_fp8_block(w_fp8, w_scale, block=128):
+    """[K, N] fp8 + [ceil(K/b), ceil(N/b)] f32 -> bf16 [K, N] (golden layout of
+    test_gmm_wfp8a16.py:8-60: zero-padded to block multiples, scale per block)."""
+    k, n = w_fp8.shape
+    sk, sn = w_scale.shape
+    kp, np_ = sk * block, sn * block
+    w = jnp.zeros((kp, np_), jnp.float32).at[:k, :n].set(w_fp8.astype(jnp.float32))
+    w = w.reshape(sk, block, sn, block) * w_scale[:, None, :, None]
+    return w.reshape(kp, np_)[:k, :n].astype(jnp.bfloat16)
+
+
+def mm_wfp8a16_ref(x, w_fp8, w_scale, block=128):
+    """bf16 [M,K] x fp8 [K,N] (block scales) -> bf16 [M,N]."""
+    w = _dequant_w_fp8_block(w_fp8, w_scale, block)
+    return jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def _wfp8a16_kernel(ws_ref, x_ref, w_ref, out_ref, acc_ref, *, k_tiles, sn):
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # One grid step covers exactly one (128,128) scale block of the weight, so
+    # the tile's scale is a single scalar-prefetched SMEM value: dequant is a
+    # broadcast multiply in VMEM, then the MXU runs in bf16.
+    w = (w_ref[...].astype(jnp.float32) * ws_ref[k * sn + j]).astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == k_tiles - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def mm_wfp8a16_pallas(x, w_fp8, w_scale, block=128, block_m=256):
+    m, k = x.shape
+    _, n = w_fp8.shape
+    assert k % block == 0 and n % block == 0, "pallas path requires block-aligned K,N"
+    block_m = min(block_m, m)
+    k_tiles = k // block
+    sn = n // block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cdiv(m, block_m), sn, k_tiles),
+        in_specs=[
+            pl.BlockSpec((block_m, block), lambda i, j, kk, ws: (i, kk)),
+            pl.BlockSpec((block, block), lambda i, j, kk, ws: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block), lambda i, j, kk, ws: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block), jnp.float32)],
+    )
+    return pl.pallas_call(
+        partial(_wfp8a16_kernel, k_tiles=k_tiles, sn=sn),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(w_scale.astype(jnp.float32).reshape(-1), x.astype(jnp.bfloat16), w_fp8)
+
+
+def mm_wfp8a16(x, w_fp8, w_scale, block=128):
+    k, n = w_fp8.shape
+    if use_pallas() and k % block == 0 and n % block == 0:
+        return mm_wfp8a16_pallas(x, w_fp8, w_scale, block)
+    return mm_wfp8a16_ref(x, w_fp8, w_scale, block)
+
+
+def gmm_wfp8a16_ref(x, w_fp8, w_scale, group_list, block=128):
+    """Grouped soft-FP8 matmul: x [S,K], w [G,K,N] fp8 + scales [G,K/b,N/b],
+    group_list [G] row counts (count mode). Rows of group g use w[g]."""
+    g = w_fp8.shape[0]
+    w = jax.vmap(lambda wf, ws: _dequant_w_fp8_block(wf, ws, block))(w_fp8, w_scale)
+    sizes = group_list.astype(jnp.int32)
+    return jax.lax.ragged_dot(
+        x.astype(jnp.bfloat16), w, sizes, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def gmm_wfp8a16(x, w_fp8, w_scale, group_list, block=128):
+    return gmm_wfp8a16_ref(x, w_fp8, w_scale, group_list, block)
+
+
+# ------------------------------------------------------------ grouped W8A8 INT8
+
+
+def grouped_matmul_int8_ref(x_q, w_q, x_scale, w_scale, group_list, out_dtype=jnp.bfloat16):
+    """MoE FFN grouped GEMM: x_q [S,K] int8, w_q [G,K,N] int8, x_scale [S,1],
+    w_scale [G,N], group_list [G] counts. int8 MXU accumulation, fused dequant."""
+    sizes = group_list.astype(jnp.int32)
+    acc = jax.lax.ragged_dot(x_q, w_q, sizes, preferred_element_type=jnp.int32)
+    # Per-row expert id to pick the right w_scale row.
+    s = x_q.shape[0]
+    offsets = jnp.cumsum(sizes)
+    row_expert = jnp.searchsorted(offsets, jnp.arange(s), side="right")
+    row_ws = w_scale[jnp.clip(row_expert, 0, w_scale.shape[0] - 1)]
+    out = acc.astype(jnp.float32) * x_scale * row_ws
+    return out.astype(out_dtype)
+
+
+def grouped_matmul_int8(x_q, w_q, x_scale, w_scale, group_list, out_dtype=jnp.bfloat16):
+    return grouped_matmul_int8_ref(x_q, w_q, x_scale, w_scale, group_list, out_dtype)
+
+
+# --------------------------------------------------------- batch_matmul_transpose
+
+
+def batch_matmul_transpose(x, w, out_dtype=None):
+    """[m, b, k] x [b, k, n] -> [m, b, n] (einsum 'mbk,bkn->mbn').
+
+    Ref: csrc/batch_matmul_transpose/README.md:1-16 (m <= 1024 there; no such
+    limit here — XLA tiles the batched contraction onto the MXU directly).
+    """
+    out = jnp.einsum("mbk,bkn->mbn", x, w, preferred_element_type=jnp.float32)
+    return out.astype(out_dtype or x.dtype)

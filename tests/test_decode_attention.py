@@ -1,0 +1,96 @@
+"""Paged decode attention vs numpy goldens (reference:
+tests/python/sgl_kernel_npu/test_decode_attention.py:18-128)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.ops.attention import decode
+
+from .utils import assert_close
+
+
+def _golden_gqa(q, k_cache, v_cache, seq_lens, block_table, sm_scale, page_size):
+    # caches are head-major: [hkv, num_pages, page_size, d]
+    b, hq, dk = q.shape
+    hkv = k_cache.shape[0]
+    dv = v_cache.shape[-1]
+    g = hq // hkv
+    out = np.zeros((b, hq, dv), np.float32)
+    for i in range(b):
+        n = int(seq_lens[i])
+        pages = block_table[i][: -(-n // page_size)]
+        k = k_cache[:, pages].reshape(hkv, -1, dk)[:, :n]  # [hkv, n, dk]
+        v = v_cache[:, pages].reshape(hkv, -1, dv)[:, :n]
+        for h in range(hq):
+            kh = k[h // g].astype(np.float32)
+            vh = v[h // g].astype(np.float32)
+            s = kh @ q[i, h].astype(np.float32) * sm_scale
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            out[i, h] = p @ vh
+    return out
+
+
+def _make_paged(rng, b, max_pages, page_size, hkv, d):
+    num_pages = b * max_pages + 1
+    cache = rng.standard_normal((hkv, num_pages, page_size, d), dtype=np.float32)
+    # unique random page assignment
+    perm = rng.permutation(num_pages - 1)[: b * max_pages] + 1
+    block_table = perm.reshape(b, max_pages).astype(np.int32)
+    return cache, block_table
+
+
+@pytest.mark.parametrize("impl", ["ref", "pallas"])
+def test_decode_gqa(rng, impl):
+    b, hq, hkv, dk, dv, page_size, max_pages = 3, 8, 2, 64, 64, 16, 4
+    q = rng.standard_normal((b, hq, dk), dtype=np.float32)
+    k_cache, block_table = _make_paged(rng, b, max_pages, page_size, hkv, dk)
+    v_cache = rng.standard_normal(k_cache.shape[:3] + (dv,), dtype=np.float32)
+    seq_lens = np.array([13, 64, 40], np.int32)
+    sm_scale = 1.0 / np.sqrt(dk)
+
+    fn = decode.decode_gqa_ref if impl == "ref" else decode.decode_gqa_pallas
+    out = fn(
+        jnp.array(q), jnp.array(k_cache), jnp.array(v_cache),
+        jnp.array(seq_lens), jnp.array(block_table), sm_scale, page_size,
+    )
+    golden = _golden_gqa(q, k_cache, v_cache, seq_lens, block_table, sm_scale, page_size)
+    assert_close(out, golden, rtol=1e-2, atol=1e-2, name=impl)
+
+
+@pytest.mark.parametrize("impl", ["ref", "pallas"])
+def test_decode_mla(rng, impl):
+    b, h, lkv, lrope, page_size, max_pages = 2, 16, 128, 32, 16, 3
+    q = rng.standard_normal((b, h, lkv + lrope), dtype=np.float32)
+    ckv_hm, block_table = _make_paged(rng, b, max_pages, page_size, 1, lkv)
+    ckv = ckv_hm[0]  # [num_pages, page_size, lkv]
+    krope = rng.standard_normal(ckv.shape[:2] + (lrope,), dtype=np.float32)
+    seq_lens = np.array([29, 48], np.int32)
+    sm_scale = 1.0 / np.sqrt(lkv + lrope)
+
+    fn = decode.decode_mla_ref if impl == "ref" else decode.decode_mla_pallas
+    out = fn(
+        jnp.array(q), jnp.array(ckv), jnp.array(krope),
+        jnp.array(seq_lens), jnp.array(block_table), sm_scale, page_size,
+    )
+
+    # golden: treat as GQA with hkv=1, k = [ckv|krope], v = ckv
+    k_cache = np.concatenate([ckv, krope], axis=-1)[None]
+    golden = _golden_gqa(q, k_cache, ckv[None], seq_lens, block_table, sm_scale, page_size)
+    assert_close(out, golden, rtol=1e-2, atol=1e-2, name=impl)
+
+
+def test_decode_gqa_single_page(rng):
+    """seq shorter than one page."""
+    b, hq, hkv, d, page_size = 1, 4, 4, 32, 8
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    cache, bt = _make_paged(rng, b, 2, page_size, hkv, d)
+    v = rng.standard_normal(cache.shape, dtype=np.float32)
+    seq_lens = np.array([3], np.int32)
+    out = decode.decode_gqa_pallas(
+        jnp.array(q), jnp.array(cache), jnp.array(v),
+        jnp.array(seq_lens), jnp.array(bt), 0.5, page_size,
+    )
+    golden = _golden_gqa(q, cache, v, seq_lens, bt, 0.5, page_size)
+    assert_close(out, golden, rtol=1e-2, atol=1e-2)

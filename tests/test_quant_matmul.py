@@ -1,0 +1,124 @@
+"""Quantization + quantized matmul tests (reference: test_mm_wfp8a16.py,
+test_gmm_wfp8a16.py:8-88 golden, test_batch_matmul_transpose.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_kernel_npu_tpu.ops import matmul, quant
+
+from .utils import assert_close
+
+
+def test_per_token_quant_int8_roundtrip(rng):
+    x = rng.standard_normal((16, 64), dtype=np.float32) * 5
+    q, s = quant.per_token_quant_int8(jnp.array(x))
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    assert_close(deq, x, rtol=2e-2, atol=0.1)
+
+
+def test_fp8_block_quant_roundtrip(rng):
+    x = rng.standard_normal((4, 256), dtype=np.float32)
+    q, s = quant.per_block_quant_fp8(jnp.array(x), block=128)
+    deq = quant.dequant_fp8_block(q, s, block=128, dtype=jnp.float32)
+    assert_close(deq, x, rtol=0.1, atol=0.1)
+
+
+def test_quant_matmul_int8_ref(rng):
+    m, k, n = 16, 64, 32
+    x = rng.standard_normal((m, k), dtype=np.float32)
+    w = rng.standard_normal((k, n), dtype=np.float32)
+    xq, xs = quant.per_token_quant_int8(jnp.array(x))
+    wq, ws_col = quant.per_token_quant_int8(jnp.array(w.T))  # per-output-channel
+    out = matmul.quant_matmul_int8_ref(xq, wq.T, xs, ws_col[:, 0])
+    assert_close(out, x @ w, rtol=5e-2, atol=0.2)
+
+
+def test_quant_matmul_int8_pallas_matches_ref(rng):
+    m, k, n = 128, 256, 128
+    xq = rng.integers(-127, 127, (m, k)).astype(np.int8)
+    wq = rng.integers(-127, 127, (k, n)).astype(np.int8)
+    xs = (rng.random((m, 1)) * 0.1 + 0.01).astype(np.float32)
+    ws = (rng.random(n) * 0.1 + 0.01).astype(np.float32)
+    ref = matmul.quant_matmul_int8_ref(jnp.array(xq), jnp.array(wq), jnp.array(xs), jnp.array(ws))
+    pal = matmul.quant_matmul_int8_pallas(
+        jnp.array(xq), jnp.array(wq), jnp.array(xs), jnp.array(ws),
+        block_m=64, block_n=64, block_k=128,
+    )
+    assert_close(pal, ref, rtol=1e-2, atol=1e-2)
+
+
+def _np_block_dequant(w_fp8, scale, block=128):
+    k, n = w_fp8.shape
+    sk, sn = scale.shape
+    out = np.zeros((sk * block, sn * block), np.float32)
+    out[:k, :n] = w_fp8.astype(np.float32)
+    out = out.reshape(sk, block, sn, block) * scale[:, None, :, None]
+    return out.reshape(sk * block, sn * block)[:k, :n]
+
+
+def test_mm_wfp8a16(rng):
+    m, k, n = 8, 256, 128
+    x = rng.standard_normal((m, k), dtype=np.float32).astype(np.float32)
+    w = rng.standard_normal((k, n), dtype=np.float32)
+    wq, ws = quant.per_block_quant_fp8(jnp.array(w.T), block=128)
+    # layout conversion: our per_block_quant is over last dim; build [K,N] fp8
+    w_fp8 = jnp.array(w).astype(jnp.float8_e4m3fn)
+    scale = jnp.ones((k // 128, n // 128), jnp.float32) * 1.5
+    out = matmul.mm_wfp8a16_ref(jnp.array(x, dtype=jnp.bfloat16), w_fp8, scale)
+    golden = x @ _np_block_dequant(np.asarray(w_fp8, np.float32), np.asarray(scale))
+    assert_close(out, golden, rtol=5e-2, atol=0.5)
+
+
+def test_mm_wfp8a16_pallas_matches_ref(rng):
+    m, k, n = 64, 256, 256
+    x = jnp.array(rng.standard_normal((m, k)), dtype=jnp.bfloat16)
+    w_fp8 = jnp.array(rng.standard_normal((k, n)), dtype=jnp.float8_e4m3fn)
+    scale = jnp.array(rng.random((k // 128, n // 128)) + 0.5, dtype=jnp.float32)
+    ref = matmul.mm_wfp8a16_ref(x, w_fp8, scale)
+    pal = matmul.mm_wfp8a16_pallas(x, w_fp8, scale, block_m=64)
+    assert_close(pal, ref, rtol=2e-2, atol=0.2)
+
+
+def test_gmm_wfp8a16(rng):
+    g, k, n = 3, 128, 128
+    s = 20
+    x = jnp.array(rng.standard_normal((s, k)), dtype=jnp.bfloat16)
+    w_fp8 = jnp.array(rng.standard_normal((g, k, n)), dtype=jnp.float8_e4m3fn)
+    scale = jnp.array(rng.random((g, 1, 1)) + 0.5, dtype=jnp.float32)
+    group_list = jnp.array([8, 5, 7], jnp.int32)
+    out = matmul.gmm_wfp8a16(x, w_fp8, scale, group_list)
+    xs = np.asarray(x, np.float32)
+    golden = np.zeros((s, n), np.float32)
+    start = 0
+    for gi, cnt in enumerate([8, 5, 7]):
+        wg = _np_block_dequant(np.asarray(w_fp8[gi], np.float32), np.asarray(scale[gi]))
+        golden[start : start + cnt] = xs[start : start + cnt] @ wg
+        start += cnt
+    assert_close(out, golden, rtol=5e-2, atol=0.5)
+
+
+def test_grouped_matmul_int8(rng):
+    g, k, n, s = 2, 64, 32, 12
+    xq = rng.integers(-100, 100, (s, k)).astype(np.int8)
+    wq = rng.integers(-100, 100, (g, k, n)).astype(np.int8)
+    xs = (rng.random((s, 1)) * 0.1).astype(np.float32)
+    ws = (rng.random((g, n)) * 0.1).astype(np.float32)
+    gl = np.array([7, 5], np.int32)
+    out = matmul.grouped_matmul_int8(
+        jnp.array(xq), jnp.array(wq), jnp.array(xs), jnp.array(ws), jnp.array(gl)
+    )
+    golden = np.zeros((s, n), np.float32)
+    start = 0
+    for gi, cnt in enumerate(gl):
+        acc = xq[start : start + cnt].astype(np.int32) @ wq[gi].astype(np.int32)
+        golden[start : start + cnt] = acc * xs[start : start + cnt] * ws[gi]
+        start += cnt
+    assert_close(out, golden, rtol=2e-2, atol=0.1)
+
+
+def test_batch_matmul_transpose(rng):
+    m, b, k, n = 6, 4, 32, 16
+    x = rng.standard_normal((m, b, k), dtype=np.float32)
+    w = rng.standard_normal((b, k, n), dtype=np.float32)
+    out = matmul.batch_matmul_transpose(jnp.array(x), jnp.array(w))
+    assert_close(out, np.einsum("mbk,bkn->mbn", x, w), rtol=2e-2, atol=1e-2)
