@@ -1,0 +1,222 @@
+"""Buffer — the EP communication facade.
+
+Reference parity: deep_ep.Buffer (python/deep_ep/deep_ep/buffer.py) — holds the
+communicator/topology, selects normal + low-latency strategies from
+DEEP_USE_MODE (buffer.py:85-123), exposes get_dispatch_layout / dispatch /
+combine / low_latency_dispatch / low_latency_combine / fused_deep_moe, and the
+per-EP-size Config presets (:138-179).
+
+TPU realisation: the "communicator" is a jax.sharding.Mesh axis. Buffer wraps
+each strategy's per-shard function in a shard_map over that axis and jits it.
+Mesh axes other than the EP axis pass through untouched, so the same Buffer
+composes with TP/DP axes of a larger mesh (the reference plumbs groupTp but
+pins tpWorldSize=1 — deep_ep.cpp:189-190; here TP composes naturally).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils import env, get_logger
+from .config import Config
+from .layout import get_dispatch_layout as _layout
+from .strategy import get_low_latency_strategy, get_normal_strategy
+from .strategies import low_latency as _ll  # noqa: F401  (registers)
+from .strategies import normal as _normal  # noqa: F401  (registers)
+
+
+class Buffer:
+    """EP communication over a mesh axis.
+
+    Args:
+      mesh: the device mesh.
+      axis_name: the EP axis of `mesh` (default "ep").
+      num_experts: total experts, divisible by EP size.
+      num_max_dispatch_tokens_per_rank: static decode-path token bound
+        (ref: the same-named Buffer ctor arg).
+    """
+
+    def __init__(self, mesh: Mesh, num_experts: int, axis_name: str = "ep",
+                 num_max_dispatch_tokens_per_rank: int = 128,
+                 normal_strategy: Optional[str] = None,
+                 low_latency_strategy: Optional[str] = None):
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.num_ranks = mesh.shape[axis_name]
+        assert num_experts % self.num_ranks == 0
+        self.num_experts = num_experts
+        self.num_local_experts = num_experts // self.num_ranks
+        self.num_max_dispatch_tokens_per_rank = num_max_dispatch_tokens_per_rank
+
+        n_name, ll_name = env.deep_use_mode()
+        self._normal = get_normal_strategy(normal_strategy or n_name)
+        self._low_latency = get_low_latency_strategy(low_latency_strategy or ll_name)
+        get_logger().info(
+            "Buffer: ep=%d experts=%d normal=%s low_latency=%s",
+            self.num_ranks, num_experts,
+            self._normal.strategy_name, self._low_latency.strategy_name,
+        )
+
+    # -------------------------------------------------------------- helpers
+
+    def _smap(self, fn, in_specs, out_specs):
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+
+    def _ep(self, *rest):
+        return P(self.axis_name, *rest)
+
+    # ------------------------------------------------------------- layout
+
+    def get_dispatch_layout(self, topk_idx):
+        """Global (sharded) layout: counts per rank / expert + routing mask.
+        Ref: Buffer.get_dispatch_layout -> aclnnDispatchLayout."""
+        fn = self._smap(
+            lambda idx: _layout(idx, self.num_experts, self.num_ranks),
+            in_specs=(self._ep(),),
+            out_specs=(self._ep(), self._ep(), self._ep()),
+        )
+        return fn(topk_idx)
+
+    # ------------------------------------------------------------- normal
+
+    def dispatch(self, x, topk_idx, topk_weights, quant_mode: str = "bf16",
+                 capacity_factor: float = 2.0, config: Optional[Config] = None):
+        """Normal-mode dispatch. Inputs sharded over the EP axis on dim 0.
+
+        Returns per-rank-sharded (recv_x, recv_x_scales, recv_topk_idx,
+        recv_topk_weights, recv_count, recv_tokens_per_expert, handle).
+        """
+        if env.bf16_dispatch():
+            quant_mode = "bf16"
+        config = config or Config.get_dispatch_config(self.num_ranks)
+        strat = self._normal
+
+        def fn(x, idx, w):
+            res = strat.dispatch(
+                x, idx, w, axis_name=self.axis_name,
+                num_experts=self.num_experts, num_ranks=self.num_ranks,
+                quant_mode=quant_mode, capacity_factor=capacity_factor,
+                config=config,
+            )
+            hd = res.handle
+            scales = res.recv_x_scales
+            if scales is None:
+                scales = jnp.zeros((res.recv_x.shape[0], 1), jnp.float32)
+            return (res.recv_x, scales, res.recv_topk_idx, res.recv_topk_weights,
+                    res.recv_count[None], res.recv_tokens_per_expert,
+                    hd.send_slot_token, hd.send_valid, hd.send_counts,
+                    hd.input_offsets, hd.output_offsets, hd.recv_sizes,
+                    hd.recv_offsets)
+
+        out = self._smap(
+            fn,
+            in_specs=(self._ep(), self._ep(), self._ep()),
+            out_specs=tuple([self._ep()] * 13),
+        )(x, topk_idx, topk_weights)
+        (recv_x, scales, recv_idx, recv_w, recv_count, per_expert,
+         s_tok, s_valid, s_counts, i_off, o_off, r_sizes, r_off) = out
+        t = x.shape[0] // self.num_ranks
+        k = topk_idx.shape[1]
+        handle = _normal.DispatchHandle(
+            send_slot_token=s_tok, send_valid=s_valid, send_counts=s_counts,
+            input_offsets=i_off, output_offsets=o_off, recv_sizes=r_sizes,
+            recv_offsets=r_off, num_tokens=t, topk=k,
+            sbuf=t * min(k, self.num_ranks),
+            rbuf=recv_x.shape[0] // self.num_ranks,
+        )
+        return (recv_x, (scales if quant_mode == "int8" else None), recv_idx,
+                recv_w, recv_count, per_expert, handle)
+
+    def combine(self, x, handle, topk_weights, config: Optional[Config] = None):
+        """Normal-mode combine (reverse of dispatch). Ref: Buffer.combine."""
+        config = config or Config.get_combine_config(self.num_ranks)
+        strat = self._normal
+        hd = handle
+
+        def fn(x, w, s_tok, s_valid, s_counts, i_off, o_off, r_sizes, r_off):
+            local = _normal.DispatchHandle(
+                send_slot_token=s_tok, send_valid=s_valid, send_counts=s_counts,
+                input_offsets=i_off, output_offsets=o_off, recv_sizes=r_sizes,
+                recv_offsets=r_off, num_tokens=hd.num_tokens, topk=hd.topk,
+                sbuf=hd.sbuf, rbuf=hd.rbuf,
+            )
+            return strat.combine(x, local, w, axis_name=self.axis_name, config=config)
+
+        return self._smap(
+            fn,
+            in_specs=tuple([self._ep()] * 9),
+            out_specs=(self._ep(), self._ep()),
+        )(x, topk_weights, hd.send_slot_token, hd.send_valid, hd.send_counts,
+          hd.input_offsets, hd.output_offsets, hd.recv_sizes, hd.recv_offsets)
+
+    # --------------------------------------------------------- low latency
+
+    def low_latency_dispatch(self, x, topk_idx, quant_mode: str = "int8"):
+        """Decode-path dispatch. Ref: Buffer.low_latency_dispatch (§3.2)."""
+        if env.bf16_dispatch():
+            quant_mode = "bf16"
+        strat = self._low_latency
+        maxt = self.num_max_dispatch_tokens_per_rank
+
+        def fn(x, idx):
+            res = strat.low_latency_dispatch(
+                x, idx, axis_name=self.axis_name,
+                num_experts=self.num_experts, num_ranks=self.num_ranks,
+                num_max_dispatch_tokens_per_rank=maxt, quant_mode=quant_mode,
+            )
+            hd = res.handle
+            scales = res.recv_x_scales
+            if scales is None:
+                scales = jnp.zeros(res.recv_x.shape[:2], jnp.float32)
+            return (res.recv_x, scales, res.packed_recv_count, res.layout_range,
+                    hd.copy_slot, hd.send_counts, hd.input_offsets, hd.recv_counts)
+
+        out = self._smap(
+            fn,
+            in_specs=(self._ep(), self._ep()),
+            out_specs=tuple([self._ep()] * 8),
+        )(x, topk_idx)
+        recv_x, scales, packed_count, layout_range, c_slot, s_counts, i_off, r_counts = out
+        t = x.shape[0] // self.num_ranks
+        handle = _ll.LowLatencyHandle(
+            copy_slot=c_slot, send_counts=s_counts, input_offsets=i_off,
+            recv_counts=r_counts, num_tokens=t, topk=topk_idx.shape[1],
+            max_tokens=maxt, num_local_experts=self.num_local_experts,
+            num_ranks=self.num_ranks,
+        )
+        return (recv_x, (scales if quant_mode == "int8" else None),
+                packed_count, layout_range, handle)
+
+    def low_latency_combine(self, x, topk_idx, topk_weights, handle):
+        """Decode-path combine. Ref: Buffer.low_latency_combine."""
+        strat = self._low_latency
+        hd = handle
+
+        def fn(x, idx, w, c_slot, s_counts, i_off, r_counts):
+            local = _ll.LowLatencyHandle(
+                copy_slot=c_slot, send_counts=s_counts, input_offsets=i_off,
+                recv_counts=r_counts, num_tokens=hd.num_tokens, topk=hd.topk,
+                max_tokens=hd.max_tokens,
+                num_local_experts=hd.num_local_experts, num_ranks=hd.num_ranks,
+            )
+            return strat.low_latency_combine(
+                x, idx, w, local, axis_name=self.axis_name
+            )
+
+        return self._smap(
+            fn,
+            in_specs=tuple([self._ep()] * 7),
+            out_specs=self._ep(),
+        )(x, topk_idx, topk_weights, hd.copy_slot, hd.send_counts,
+          hd.input_offsets, hd.recv_counts)

@@ -1,0 +1,287 @@
+"""Low-latency (decode-path) EP dispatch/combine.
+
+Reference parity:
+  DefaultLowLatencyCommStrategy (python/deep_ep/deep_ep/strategies/
+  low_latency_strategy.py:19-181) over aclnnMoeLowLatencyDispatchV2/
+  aclnnMoeLowLatencyCombineV2 (csrc/deepep/deep_ep.cpp:824-977; kernels
+  moe_distribute_dispatch_v2.h / moe_distribute_combine_v2.h), and the
+  AllToAllLowLatencyCommStrategy fallback (:518-628).
+
+Output contract == the reference's (§3.2 of SURVEY.md): dispatch returns a
+max-token-PADDED buffer
+    recv_x [num_local_experts, num_ranks * num_max_dispatch_tokens_per_rank, H]
+where src rank r's tokens for local expert e occupy
+    recv_x[e, r*maxT : r*maxT + layout_range[r, e]]
+and validity is given by counts, never by a host sync — exactly how the
+reference protects decode latency (no .item() on this path).
+
+TPU-native realisation: one `jax.lax.ragged_all_to_all` carrying
+num_local_experts slices per destination rank, whose output_offsets drop each
+slice directly into its (expert, src-rank) slot. The per-token INT8/FP8 comm
+quant of the reference (quantize_functions.h) is a fused VPU pass before the
+send-buffer gather.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.quant import per_block_quant_fp8, per_token_quant_int8
+from ..comm import ragged_all_to_all
+from ..strategy import (
+    LowLatencyEPCommStrategy,
+    register_low_latency_strategy,
+)
+
+BIG = jnp.int32(2**30)
+
+
+def _exclusive_cumsum(x, axis=0):
+    c = jnp.cumsum(x, axis=axis)
+    return c - x
+
+
+@dataclass
+class LowLatencyHandle:
+    """Ref handle tuple (low_latency_strategy.py:94-101): src_info +
+    layout_range + sizes."""
+
+    copy_slot: Any        # [T*K] send-buffer slot of each (token, k) copy (or TK = invalid)
+    send_counts: Any      # [R, El] my per-(dst, expert) copy counts
+    input_offsets: Any    # [R*El]
+    recv_counts: Any      # [R, El] per-(src, local expert) received counts (layout_range)
+    num_tokens: int
+    topk: int
+    max_tokens: int       # maxT (static)
+    num_local_experts: int
+    num_ranks: int
+
+
+@dataclass
+class LowLatencyDispatchResult:
+    recv_x: Any                  # [El, R*maxT, H] bf16 | int8
+    recv_x_scales: Optional[Any] # [El, R*maxT] f32 (int8 mode)
+    packed_recv_count: Any       # [El] valid tokens per local expert
+    layout_range: Any            # [R, El] per-(src, expert) counts
+    handle: LowLatencyHandle
+
+
+@register_low_latency_strategy("default")
+class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
+    def low_latency_dispatch(self, x, topk_idx, *, axis_name, num_experts,
+                             num_ranks, num_max_dispatch_tokens_per_rank,
+                             quant_mode="bf16"):
+        t, h = x.shape
+        k = topk_idx.shape[1]
+        r = num_ranks
+        el = num_experts // r
+        me = jax.lax.axis_index(axis_name)
+        maxt = num_max_dispatch_tokens_per_rank
+        assert t <= maxt, f"T={t} exceeds num_max_dispatch_tokens_per_rank={maxt}"
+        tk = t * k
+
+        flat_idx = topk_idx.reshape(-1)                       # [T*K]
+        valid = flat_idx >= 0
+        g = jnp.where(valid, flat_idx, 0)
+        dst = g // el                                          # destination rank
+        le = g % el                                            # local expert there
+        key = jnp.where(valid, dst * el + le, r * el)          # group key, R*El = drop
+
+        # Stable sort copies by (dst, expert): the send buffer layout.
+        order = jnp.argsort(key, stable=True)                  # [T*K]
+        sorted_key = key[order]
+        copy_of_slot = jnp.where(sorted_key < r * el, order, tk)  # slot -> copy id
+        # Inverse map: copy -> slot (invalid copies -> tk).
+        copy_slot = jnp.full((tk + 1,), tk, jnp.int32).at[
+            jnp.where(sorted_key < r * el, order, tk)
+        ].set(jnp.arange(tk, dtype=jnp.int32), mode="drop")[:tk]
+
+        counts = jnp.sum(jax.nn.one_hot(key, r * el + 1, dtype=jnp.int32), axis=0)[: r * el]
+        counts = counts.reshape(r, el)
+        input_offsets = _exclusive_cumsum(counts.reshape(-1))
+
+        tok = jnp.where(copy_of_slot < tk, copy_of_slot // k, 0)
+        if quant_mode == "int8":
+            xq, xs = per_token_quant_int8(x)
+            send_x = xq[tok]
+            send_scales = xs[tok][:, 0]
+        else:
+            send_x = x[tok]
+            send_scales = None
+
+        # Per-destination slice offsets: slice (dst, e) lands at
+        # [e, me*maxT] of dst's [El, R*maxT, H] output.
+        ee = jax.lax.broadcasted_iota(jnp.int32, (r, el), 1)
+        output_offsets = (ee * (r * maxt) + me * maxt).reshape(-1)
+        # ragged_all_to_all expects recv_sizes[(src, slice)] = size of slice
+        # `slice` arriving from rank `src`; slice index here is the local expert.
+        recv_counts = jax.lax.all_to_all(counts, axis_name, 0, 0, tiled=True)  # [R, El]
+        recv_sizes = recv_counts.reshape(-1)
+
+        out = jnp.zeros((el * r * maxt, h), send_x.dtype)
+        recv_x = ragged_all_to_all(
+            send_x, out, input_offsets, counts.reshape(-1),
+            output_offsets, recv_sizes, axis_name=axis_name,
+        ).reshape(el, r * maxt, h)
+
+        recv_scales = None
+        if send_scales is not None:
+            sout = jnp.zeros((el * r * maxt,), jnp.float32)
+            recv_scales = ragged_all_to_all(
+                send_scales, sout, input_offsets, counts.reshape(-1),
+                output_offsets, recv_sizes, axis_name=axis_name,
+            ).reshape(el, r * maxt)
+
+        packed_recv_count = jnp.sum(recv_counts, axis=0)  # [El]
+        handle = LowLatencyHandle(
+            copy_slot=copy_slot, send_counts=counts, input_offsets=input_offsets,
+            recv_counts=recv_counts, num_tokens=t, topk=k, max_tokens=maxt,
+            num_local_experts=el, num_ranks=r,
+        )
+        return LowLatencyDispatchResult(
+            recv_x=recv_x, recv_x_scales=recv_scales,
+            packed_recv_count=packed_recv_count, layout_range=recv_counts,
+            handle=handle,
+        )
+
+    def low_latency_combine(self, x, topk_idx, topk_weights, handle, *, axis_name):
+        hd: LowLatencyHandle = handle
+        el, slots, h = x.shape
+        r, maxt, t, k = hd.num_ranks, hd.max_tokens, hd.num_tokens, hd.topk
+        me = jax.lax.axis_index(axis_name)
+        tk = t * k
+
+        # Reverse ragged a2a: slice (src=r', e) of my buffer goes back to rank
+        # r', landing at their original send-slot offsets.
+        ee = jax.lax.broadcasted_iota(jnp.int32, (r, el), 1)
+        my_slice_offsets = (ee * (r * maxt)).reshape(r, el) + \
+            (jax.lax.broadcasted_iota(jnp.int32, (r, el), 0) * maxt)
+        # their_input_offsets[(r', e)] = rank r''s input offset of its slice to me
+        their_input_offsets = jax.lax.all_to_all(
+            hd.input_offsets.reshape(r, el), axis_name, 0, 0, tiled=True
+        ).reshape(-1)
+
+        out = jnp.zeros((tk, h), x.dtype)
+        back = ragged_all_to_all(
+            x.reshape(el * r * maxt, h), out,
+            my_slice_offsets.reshape(-1), hd.recv_counts.reshape(-1),
+            their_input_offsets, hd.send_counts.reshape(-1),
+            axis_name=axis_name,
+        )  # [T*K, H] in send-slot order
+
+        # Un-sort to (token, k) copies and weighted-sum over k at the source
+        # (ref: BF16 weighted sum in MoeLowLatencyCombine).
+        slot = jnp.clip(hd.copy_slot, 0, tk - 1)
+        copies = back[slot]                                    # [T*K, H]
+        w = jnp.where(topk_idx.reshape(-1) >= 0, topk_weights.reshape(-1), 0.0)
+        copies = copies.astype(jnp.float32) * w[:, None]
+        combined = jnp.sum(copies.reshape(t, k, h), axis=1)
+        return combined.astype(x.dtype)
+
+
+@register_low_latency_strategy("alltoall")
+class AllToAllLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
+    """Dense `lax.all_to_all` oracle (ref AllToAllLowLatencyCommStrategy,
+    low_latency_strategy.py:518-628): moves the fully padded
+    [R, El, maxT, H] blocks. Same output contract; bandwidth-wasteful but a
+    direct correctness cross-check for the ragged path."""
+
+    def low_latency_dispatch(self, x, topk_idx, *, axis_name, num_experts,
+                             num_ranks, num_max_dispatch_tokens_per_rank,
+                             quant_mode="bf16"):
+        t, h = x.shape
+        k = topk_idx.shape[1]
+        r = num_ranks
+        el = num_experts // r
+        maxt = num_max_dispatch_tokens_per_rank
+        assert t <= maxt
+        tk = t * k
+
+        flat_idx = topk_idx.reshape(-1)
+        valid = flat_idx >= 0
+        g = jnp.where(valid, flat_idx, 0)
+        dst = g // el
+        le = g % el
+        key = jnp.where(valid, dst * el + le, r * el)
+
+        order = jnp.argsort(key, stable=True)
+        sorted_key = key[order]
+        copy_of_slot = jnp.where(sorted_key < r * el, order, tk)
+        copy_slot = jnp.full((tk + 1,), tk, jnp.int32).at[
+            jnp.where(sorted_key < r * el, order, tk)
+        ].set(jnp.arange(tk, dtype=jnp.int32), mode="drop")[:tk]
+
+        counts = jnp.sum(jax.nn.one_hot(key, r * el + 1, dtype=jnp.int32), axis=0)[: r * el]
+        counts = counts.reshape(r, el)
+        offsets = _exclusive_cumsum(counts.reshape(-1))
+
+        # Scatter sorted copies into dense [R, El, maxT] slots.
+        slot_ids = jnp.arange(tk)
+        within = slot_ids - offsets[jnp.clip(sorted_key, 0, r * el - 1)]
+        dense = jnp.zeros((r * el * maxt, h), x.dtype)
+        tok = jnp.where(copy_of_slot < tk, copy_of_slot // k, 0)
+        if quant_mode == "int8":
+            xq, xs = per_token_quant_int8(x)
+            payload = xq[tok]
+            scale_payload = xs[tok][:, 0]
+            dense = jnp.zeros((r * el * maxt, h), xq.dtype)
+        else:
+            payload = x[tok]
+            scale_payload = None
+        pos = jnp.where(sorted_key < r * el, sorted_key * maxt + within, r * el * maxt)
+        dense = dense.at[pos].set(payload, mode="drop")
+
+        a2a = lambda p: jax.lax.all_to_all(p, axis_name, 0, 0, tiled=True)
+        recv_dense = a2a(dense.reshape(r, el * maxt * h)).reshape(r, el, maxt, h)
+        recv_x = recv_dense.transpose(1, 0, 2, 3).reshape(el, r * maxt, h)
+
+        recv_scales = None
+        if scale_payload is not None:
+            dense_s = jnp.zeros((r * el * maxt,), jnp.float32).at[pos].set(
+                scale_payload, mode="drop")
+            recv_s = a2a(dense_s.reshape(r, el * maxt)).reshape(r, el, maxt)
+            recv_scales = recv_s.transpose(1, 0, 2).reshape(el, r * maxt)
+
+        recv_counts = jax.lax.all_to_all(counts, axis_name, 0, 0, tiled=True)
+        handle = LowLatencyHandle(
+            copy_slot=copy_slot, send_counts=counts,
+            input_offsets=offsets, recv_counts=recv_counts,
+            num_tokens=t, topk=k, max_tokens=maxt,
+            num_local_experts=el, num_ranks=r,
+        )
+        return LowLatencyDispatchResult(
+            recv_x=recv_x, recv_x_scales=recv_scales,
+            packed_recv_count=jnp.sum(recv_counts, axis=0),
+            layout_range=recv_counts, handle=handle,
+        )
+
+    def low_latency_combine(self, x, topk_idx, topk_weights, handle, *, axis_name):
+        hd: LowLatencyHandle = handle
+        el, slots, h = x.shape
+        r, maxt, t, k = hd.num_ranks, hd.max_tokens, hd.num_tokens, hd.topk
+        tk = t * k
+
+        # Dense reverse: [El, R*maxT] -> [R, El, maxT] -> a2a -> my copies.
+        y = x.reshape(el, r, maxt, h).transpose(1, 0, 2, 3)
+        back_dense = jax.lax.all_to_all(
+            y.reshape(r, el * maxt * h), axis_name, 0, 0, tiled=True
+        )
+        back = back_dense.reshape(r * el * maxt, h)
+
+        # Gather each copy from its dense slot.
+        flat_idx = topk_idx.reshape(-1)
+        valid = flat_idx >= 0
+        g = jnp.where(valid, flat_idx, 0)
+        key = jnp.where(valid, (g // el) * el + (g % el), r * el)
+        offsets = hd.input_offsets
+        slot = jnp.clip(hd.copy_slot, 0, tk - 1)
+        within = slot - offsets[jnp.clip(key, 0, r * el - 1)]
+        pos = jnp.clip(key * maxt + within, 0, r * el * maxt - 1)
+        copies = back[pos].astype(jnp.float32)
+        w = jnp.where(valid, topk_weights.reshape(-1), 0.0)
+        combined = jnp.sum((copies * w[:, None]).reshape(t, k, h), axis=1)
+        return combined.astype(x.dtype)

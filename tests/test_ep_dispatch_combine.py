@@ -1,0 +1,195 @@
+"""EP dispatch/combine on an 8-virtual-device CPU mesh.
+
+Modeled on the reference's tests/python/deepep/test_intranode.py: structural
+routing-count checks plus the combine identity property
+combined_x[t] == x[t] * sum(valid topk_weights[t]) (test_intranode.py:412-441),
+and cross-checks of the optimized strategy against the alltoall oracle
+(the reference's test_performance_compare.py pattern).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sgl_kernel_npu_tpu.parallel import Buffer, get_dispatch_layout
+
+from .utils import assert_close
+
+R = 8          # EP size (virtual devices)
+E = 32         # experts
+T = 16         # tokens per rank
+K = 4          # topk
+H = 64         # hidden
+
+
+def make_mesh():
+    devs = np.array(jax.devices()[:R])
+    return Mesh(devs, ("ep",))
+
+
+def random_routing(rng, num_tokens, drop_frac=0.1):
+    topk_idx = np.stack(
+        [rng.choice(E, K, replace=False) for _ in range(num_tokens)]
+    ).astype(np.int32)
+    drop = rng.random((num_tokens, K)) < drop_frac
+    topk_idx = np.where(drop, -1, topk_idx)
+    topk_weights = rng.random((num_tokens, K)).astype(np.float32)
+    return topk_idx, topk_weights
+
+
+def test_dispatch_layout(rng):
+    topk_idx, _ = random_routing(rng, T)
+    ntr, nte, in_rank = get_dispatch_layout(jnp.array(topk_idx), E, R)
+    # golden
+    el = E // R
+    g_nte = np.zeros(E, np.int64)
+    g_in_rank = np.zeros((T, R), bool)
+    for t in range(T):
+        for k in range(K):
+            e = topk_idx[t, k]
+            if e >= 0:
+                g_nte[e] += 1
+                g_in_rank[t, e // el] = True
+    np.testing.assert_array_equal(np.asarray(nte), g_nte)
+    np.testing.assert_array_equal(np.asarray(in_rank), g_in_rank)
+    np.testing.assert_array_equal(np.asarray(ntr), g_in_rank.sum(0))
+
+
+@pytest.mark.parametrize("strategy", ["alltoall", "default"])
+@pytest.mark.parametrize("quant", ["bf16", "int8"])
+def test_normal_dispatch_combine_identity(rng, strategy, quant):
+    """Dispatch then immediately combine: reference identity property."""
+    mesh = make_mesh()
+    buf = Buffer(mesh, E, normal_strategy=strategy, low_latency_strategy="default")
+
+    total = R * T
+    x = rng.standard_normal((total, H), dtype=np.float32)
+    topk_idx, topk_weights = random_routing(rng, total)
+
+    xs = jax.device_put(jnp.array(x), jax.NamedSharding(mesh, P("ep")))
+    (recv_x, recv_scales, recv_idx, recv_w, recv_count, per_expert, handle) = buf.dispatch(
+        xs, jnp.array(topk_idx), jnp.array(topk_weights), quant_mode=quant,
+        capacity_factor=float(R),  # no drops in tests
+    )
+
+    # Structural: per-expert counts across ranks == global counts per expert.
+    _, g_nte, _ = get_dispatch_layout(jnp.array(topk_idx), E, R)
+    np.testing.assert_array_equal(
+        np.asarray(per_expert).reshape(-1), np.asarray(g_nte)
+    )
+
+    # recv rows hold the right tokens: dequant and check against sources.
+    if quant == "int8":
+        recv_dense = np.asarray(recv_x, np.float32) * np.asarray(recv_scales)
+    else:
+        recv_dense = np.asarray(recv_x, np.float32)
+
+    # combine identity
+    if quant == "int8":
+        comb_in = jnp.array(recv_dense, jnp.float32)
+    else:
+        comb_in = recv_x
+    combined, combined_w = buf.combine(comb_in, handle, recv_w)
+    w_valid = np.where(topk_idx >= 0, topk_weights, 0.0)
+    golden = x * w_valid.sum(-1, keepdims=True)
+    tol = 0.06 if quant == "int8" else 1e-3
+    assert_close(combined, golden, rtol=tol, atol=tol, name=f"{strategy}/{quant}")
+    assert_close(combined_w, w_valid * (w_valid > 0), rtol=1e-4, atol=1e-5)
+
+
+def test_normal_strategies_agree(rng):
+    """default (ragged) vs alltoall (dense oracle): same recv multiset per rank."""
+    mesh = make_mesh()
+    total = R * T
+    x = rng.standard_normal((total, H), dtype=np.float32)
+    topk_idx, topk_weights = random_routing(rng, total)
+    xs = jax.device_put(jnp.array(x), jax.NamedSharding(mesh, P("ep")))
+
+    outs = {}
+    for strat in ["default", "alltoall"]:
+        buf = Buffer(mesh, E, normal_strategy=strat)
+        recv_x, _, recv_idx, recv_w, recv_count, per_expert, _ = buf.dispatch(
+            xs, jnp.array(topk_idx), jnp.array(topk_weights),
+            capacity_factor=float(R),
+        )
+        outs[strat] = (np.asarray(recv_x), np.asarray(recv_idx),
+                       np.asarray(recv_count), np.asarray(per_expert))
+
+    a, b = outs["default"], outs["alltoall"]
+    np.testing.assert_array_equal(a[2], b[2])  # recv counts
+    np.testing.assert_array_equal(a[3], b[3])  # per-expert counts
+    # Same rows in the same (src-rank-major, stable) order.
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+@pytest.mark.parametrize("strategy", ["alltoall", "default"])
+@pytest.mark.parametrize("quant", ["bf16", "int8"])
+def test_low_latency_dispatch_combine(rng, strategy, quant):
+    mesh = make_mesh()
+    buf = Buffer(mesh, E, normal_strategy="default", low_latency_strategy=strategy,
+                 num_max_dispatch_tokens_per_rank=T)
+    total = R * T
+    el = E // R
+    x = rng.standard_normal((total, H), dtype=np.float32)
+    topk_idx, topk_weights = random_routing(rng, total)
+    xs = jax.device_put(jnp.array(x), jax.NamedSharding(mesh, P("ep")))
+
+    recv_x, recv_scales, packed_count, layout_range, handle = buf.low_latency_dispatch(
+        xs, jnp.array(topk_idx), quant_mode=quant,
+    )
+    # recv_x: [R(global rank), El, R*maxT, H] once unsharded
+    rx = np.asarray(recv_x, np.float32 if quant == "bf16" else np.int8)
+    rx = rx.reshape(R, el, R * T, H)
+    if quant == "int8":
+        rs = np.asarray(recv_scales).reshape(R, el, R * T)
+        rx = rx.astype(np.float32) * rs[..., None]
+    lr = np.asarray(layout_range).reshape(R, R, el)  # [dst, src, expert]
+
+    # golden per (dst, src, expert): tokens in source order at slots src*T+i
+    for dst in range(R):
+        for src in range(R):
+            srct = np.arange(src * T, (src + 1) * T)
+            for e in range(el):
+                ge = dst * el + e
+                toks = [t for t in srct for k in range(K) if topk_idx[t, k] == ge]
+                assert lr[dst, src, e] == len(toks), (dst, src, e)
+                got = rx[dst, e, src * T : src * T + len(toks)]
+                want = x[toks]
+                tol = 0.05 if quant == "int8" else 1e-5
+                np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+    np.testing.assert_array_equal(
+        np.asarray(packed_count).reshape(R, el).sum(),
+        (topk_idx >= 0).sum(),
+    )
+
+    # combine of the recv buffer (identity experts): weighted-sum property
+    comb_in = jnp.array(rx.reshape(R * el, R * T, H), jnp.float32)
+    combined = buf.low_latency_combine(
+        comb_in, jnp.array(topk_idx), jnp.array(topk_weights), handle
+    )
+    w_valid = np.where(topk_idx >= 0, topk_weights, 0.0)
+    golden = x * w_valid.sum(-1, keepdims=True)
+    tol = 0.06 if quant == "int8" else 1e-3
+    assert_close(combined, golden, rtol=tol, atol=tol, name=strategy)
+
+
+def test_low_latency_strategies_agree(rng):
+    mesh = make_mesh()
+    total = R * T
+    x = rng.standard_normal((total, H), dtype=np.float32)
+    topk_idx, _ = random_routing(rng, total)
+    xs = jax.device_put(jnp.array(x), jax.NamedSharding(mesh, P("ep")))
+    outs = {}
+    for strat in ["default", "alltoall"]:
+        buf = Buffer(mesh, E, low_latency_strategy=strat,
+                     num_max_dispatch_tokens_per_rank=T)
+        recv_x, _, packed, lr, _ = buf.low_latency_dispatch(xs, jnp.array(topk_idx), "bf16")
+        outs[strat] = (np.asarray(recv_x), np.asarray(packed), np.asarray(lr))
+    a, b = outs["default"], outs["alltoall"]
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    # padded slots may differ (zeros vs zeros) — both zero-init, so exact:
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-6, atol=1e-6)
