@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): tokens/s/chip for Llama-3-8B-class W8A8
+continuous-batching decode on one TPU chip. vs_baseline is the fraction of the
+chip's HBM-bandwidth roofline achieved (speed-of-light ratio): the decode step
+must stream all INT8 weights plus the live KV window per token, so
+  roofline tok/s = HBM_BW / (weight_bytes/batch + kv_bytes_per_token).
+
+Usage: python bench.py [--smoke] [--batch N] [--ctx N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny config, fast")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--ctx", type=int, default=384)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from sgl_kernel_npu_tpu.models import llama
+    from sgl_kernel_npu_tpu.utils import get_device_properties
+
+    props = get_device_properties()
+
+    if args.smoke:
+        cfg = llama.tiny_config()
+        batch, ctx, iters = 4, 64, 3
+    else:
+        cfg = llama.LlamaConfig()  # 8B-class
+        batch, ctx, iters = args.batch, args.ctx, args.iters
+
+    page_size = cfg.page_size
+    max_pages = -(-ctx // page_size)
+    num_pages = batch * max_pages + 1
+
+    key = jax.random.PRNGKey(0)
+    params = llama.init_params(cfg, key)
+    kc, vc = llama.init_kv_cache(cfg, num_pages)
+
+    rng = np.random.default_rng(0)
+    bt = jnp.array(
+        rng.permutation(num_pages - 1)[: batch * max_pages].reshape(batch, max_pages) + 1,
+        jnp.int32,
+    )
+    seq_lens = jnp.full((batch,), ctx, jnp.int32)
+    positions = seq_lens - 1
+    slots = (bt[jnp.arange(batch), positions // page_size] * page_size
+             + positions % page_size)
+    ids = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
+
+    step = jax.jit(
+        lambda p, kc, vc, i, po, sl, b_, sm: llama.decode_step(p, cfg, kc, vc, i, po, sl, b_, sm),
+        donate_argnums=(1, 2),
+    )
+
+    logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
+    logits.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
+    logits.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    toks_per_s = batch / dt
+
+    # Speed-of-light: bytes that MUST stream from HBM per decode step.
+    h, f, l, v = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+    qs, kvs = cfg.q_size, cfg.kv_size
+    weight_bytes = l * (h * (qs + 2 * kvs) + qs * h + h * 2 * f + f * h) + h * v
+    kv_bytes_per_tok = l * 2 * ctx * cfg.num_kv_heads * cfg.head_dim * 2  # bf16 k+v
+    roofline = props.hbm_gbps * 1e9 / (weight_bytes / batch + kv_bytes_per_tok)
+    vs_baseline = toks_per_s / roofline
+
+    print(json.dumps({
+        "metric": "decode_tokens_per_s_per_chip_llama8b_w8a8"
+                  if not args.smoke else "decode_tokens_per_s_smoke",
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "batch": batch, "ctx": ctx, "step_ms": round(dt * 1e3, 3),
+            "roofline_tokens_per_s": round(roofline, 1),
+            "platform": props.platform,
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

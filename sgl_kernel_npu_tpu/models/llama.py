@@ -1,0 +1,226 @@
+"""Llama-3-class GQA decoder with W8A8 INT8 weights and paged KV cache.
+
+This is the BASELINE.json config-2 flagship ("Llama-3-8B W8A8
+continuous-batching decode: INT8 KV-not-required, fused add+RMSNorm, quantized
+SwiGLU") wiring the op layer end-to-end:
+  add_rmsnorm (ops.norm) -> per-token INT8 quant -> W8A8 matmuls (ops.matmul)
+  -> RoPE (ops.rope) -> reshape_and_cache + paged decode_gqa (ops.attention,
+  ops.kvcache) -> SwiGLU (ops.activation math) -> residual adds.
+
+The reference repo has no model zoo (SURVEY.md §1 "no scheduler, model zoo,
+server or CLI"); this module exists to run its kernels end-to-end the way
+SGLang would on top of the reference, and is the benchmark vehicle.
+
+TPU design notes:
+  * layers run under lax.scan over stacked params (one compile, L iterations)
+  * per-token dynamic INT8 activation quant + per-channel weight scales; all
+    matmuls hit the MXU as int8xint8->int32
+  * KV caches are head-major [L, Hkv, pages, page_size, D] (see
+    ops/attention/decode.py layout rationale)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention.decode import decode_gqa
+from ..ops.kvcache import reshape_and_cache_gqa
+from ..ops.quant import per_token_quant_int8
+from ..ops.matmul import quant_matmul_int8_ref
+from ..ops.rope import apply_rope, make_cos_sin_cache
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 14336
+    rope_base: float = 500000.0
+    rms_eps: float = 1e-5
+    page_size: int = 128
+    max_position: int = 8192
+
+    @property
+    def q_size(self):
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self):
+        return self.num_kv_heads * self.head_dim
+
+
+def tiny_config(**kw) -> LlamaConfig:
+    base = dict(vocab_size=512, hidden_size=256, num_layers=2, num_heads=8,
+                num_kv_heads=4, head_dim=32, intermediate_size=512,
+                page_size=16, max_position=256)
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+def _quantize_w(rng, shape, scale=0.02):
+    """Random int8 weight + per-output-channel f32 scale ([out] = last dim).
+
+    Host numpy init + device_put: on-device RNG is very slow through remote
+    tunnels, and real deployments load quantized checkpoints anyway."""
+    import numpy as np
+
+    w8 = jnp.asarray(rng.integers(-127, 128, shape, dtype=np.int8))
+    s = jnp.full((shape[-1],), scale / 127.0, jnp.float32)
+    return {"q": w8, "scale": s}
+
+
+def init_params(cfg: LlamaConfig, key) -> Dict[str, Any]:
+    import numpy as np
+
+    seed = int(jax.random.key_data(key)[-1]) if hasattr(jax.random, "key_data") else 0
+    rng = np.random.default_rng(seed)
+    l = cfg.num_layers
+
+    h, qs, kvs, f = cfg.hidden_size, cfg.q_size, cfg.kv_size, cfg.intermediate_size
+    layer = {
+        "wqkv": _quantize_w(rng, (l, h, qs + 2 * kvs)),
+        "wo": _quantize_w(rng, (l, qs, h)),
+        "w13": _quantize_w(rng, (l, h, 2 * f)),
+        "w2": _quantize_w(rng, (l, f, h)),
+        "input_norm": jnp.ones((l, h), jnp.bfloat16),
+        "post_norm": jnp.ones((l, h), jnp.bfloat16),
+    }
+    # stacked weights need per-layer scales: [L, out]
+    for name in ("wqkv", "wo", "w13", "w2"):
+        out = layer[name]["q"].shape[-1]
+        layer[name]["scale"] = jnp.broadcast_to(layer[name]["scale"], (l, out))
+    return {
+        "embed": jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, h), dtype=np.float32) * 0.02,
+            dtype=jnp.bfloat16,
+        ),
+        "final_norm": jnp.ones((h,), jnp.bfloat16),
+        "lm_head": _quantize_w(rng, (h, cfg.vocab_size)),
+        "layers": layer,
+        "cos_sin": make_cos_sin_cache(cfg.max_position, cfg.head_dim, cfg.rope_base),
+    }
+
+
+def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, cfg.page_size, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _rmsnorm(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _qmm(x, w):
+    xq, xs = per_token_quant_int8(x)
+    return quant_matmul_int8_ref(xq, w["q"], xs, w["scale"], out_dtype=x.dtype)
+
+
+def decode_step(params, cfg: LlamaConfig, k_cache, v_cache,
+                input_ids, positions, seq_lens, block_table, slot_mapping):
+    """One continuous-batching decode step.
+
+    input_ids/positions/slot_mapping: [B]; seq_lens: [B] (length INCLUDING the
+    new token); block_table: [B, max_pages].
+    Returns (logits [B, V], k_cache, v_cache).
+    """
+    b = input_ids.shape[0]
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    sm_scale = 1.0 / (d ** 0.5)
+
+    x = params["embed"][input_ids]
+    cs = params["cos_sin"][positions]          # [B, D]
+    cos, sin = cs[:, : d // 2], cs[:, d // 2 :]
+
+    def layer(carry, inputs):
+        x, = carry
+        lp, kc, vc = inputs
+
+        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+        qkv = _qmm(h1, lp["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+        q = q.reshape(b, hq, d)
+        k = k.reshape(b, hkv, d)
+        v = v.reshape(b, hkv, d)
+        q = apply_rope(q, cos[:, None], sin[:, None])
+        k = apply_rope(k, cos[:, None], sin[:, None])
+
+        kc, vc = reshape_and_cache_gqa(k, v, kc, vc, slot_mapping)
+        att = decode_gqa(q, kc, vc, seq_lens, block_table, sm_scale, cfg.page_size)
+        x = x + _qmm(att.reshape(b, -1), lp["wo"])
+
+        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2, lp["w13"])
+        f = cfg.intermediate_size
+        g32 = ug.astype(jnp.float32)
+        act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"])
+        return (x,), (kc, vc)
+
+    (x,), (k_cache, v_cache) = jax.lax.scan(
+        layer, (x,), (params["layers"], k_cache, v_cache)
+    )
+
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, k_cache, v_cache
+
+
+def prefill_step(params, cfg: LlamaConfig, k_cache, v_cache,
+                 input_ids, positions, slot_mapping, seq_start):
+    """Single-sequence prefill: causal attention over [T] tokens, writing the
+    paged cache. (Chunked/batched prefill and the laser-attention Pallas kernel
+    arrive with the prefill-attention module.)"""
+    t = input_ids.shape[0]
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = hq // hkv
+    sm_scale = 1.0 / (d ** 0.5)
+
+    x = params["embed"][input_ids]
+    cs = params["cos_sin"][positions]
+    cos, sin = cs[:, : d // 2], cs[:, d // 2 :]
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    def layer(carry, inputs):
+        x, = carry
+        lp, kc, vc = inputs
+        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+        qkv = _qmm(h1, lp["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+        q = apply_rope(q.reshape(t, hq, d), cos[:, None], sin[:, None])
+        k = apply_rope(k.reshape(t, hkv, d), cos[:, None], sin[:, None])
+        v = v.reshape(t, hkv, d)
+        kc, vc = reshape_and_cache_gqa(k, v, kc, vc, slot_mapping)
+
+        qh = q.reshape(t, hkv, g, d).astype(jnp.float32)
+        s = jnp.einsum("thgd,nhd->hgtn", qh, k.astype(jnp.float32)) * sm_scale
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        att = jnp.einsum("hgtn,nhd->thgd", p, v.astype(jnp.float32))
+        att = att.reshape(t, hq * d).astype(x.dtype)
+        x = x + _qmm(att, lp["wo"])
+
+        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2, lp["w13"])
+        f = cfg.intermediate_size
+        g32 = ug.astype(jnp.float32)
+        act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"])
+        return (x,), (kc, vc)
+
+    (x,), (k_cache, v_cache) = jax.lax.scan(
+        layer, (x,), (params["layers"], k_cache, v_cache)
+    )
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, k_cache, v_cache

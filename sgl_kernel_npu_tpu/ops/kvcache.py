@@ -1,0 +1,155 @@
+"""Paged-KV cache management ops.
+
+Reference parity (include/sgl_kenel_npu_ops.h:19-47 + csrc dirs):
+  alloc_extend/            -> alloc_extend (paged allocator extend; the
+                              reference's serial device loop becomes a fully
+                              vectorized cumsum/searchsorted computation —
+                              SURVEY.md §7 "hard parts" #5)
+  cache_location_assign/   -> cache_loc_assign / cache_loc_update
+  assign_cache_op/         -> assign_cache_op (tensor-indexed slice copy)
+  transfer_kv_dim_exchange/-> transfer_kv (device<->host paged transfer with
+                              layer-dim exchange, via JAX host memory kinds)
+  plus reshape_and_cache — the KV scatter embedded in mla_preprocess
+  (cache_mode slotmapping scatter) and used by every decode step.
+
+All functions are functional (return updated arrays); under jit with input
+donation XLA performs them in place.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def reshape_and_cache_gqa(k, v, k_cache, v_cache, slot_mapping):
+    """Scatter new tokens into the head-major paged cache.
+
+    k, v: [T, Hkv, D]; caches: [Hkv, num_pages, page_size, D];
+    slot_mapping: [T] global slot ids (page*page_size + offset), -1 = skip.
+    """
+    hkv, num_pages, ps, d = k_cache.shape
+    page = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)
+    off = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+    k_t = k.transpose(1, 0, 2)  # [Hkv, T, D]
+    v_t = v.transpose(1, 0, 2)
+    k_cache = k_cache.at[:, page, off].set(k_t.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[:, page, off].set(v_t.astype(v_cache.dtype), mode="drop")
+    return k_cache, v_cache
+
+
+def reshape_and_cache_mla(ckv, krope, ckv_cache, krope_cache, slot_mapping):
+    """MLA latent cache scatter: ckv [T, Lkv], krope [T, Lrope];
+    caches [num_pages, page_size, L]."""
+    num_pages, ps, _ = ckv_cache.shape
+    page = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)
+    off = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+    ckv_cache = ckv_cache.at[page, off].set(ckv.astype(ckv_cache.dtype), mode="drop")
+    krope_cache = krope_cache.at[page, off].set(krope.astype(krope_cache.dtype), mode="drop")
+    return ckv_cache, krope_cache
+
+
+def alloc_extend(pre_lens, seq_lens, last_loc, free_pages, page_size, out_size):
+    """Paged allocator extend (ref: csrc/alloc_extend/op_host/alloc_extend_tiling.cpp
+    :41-60; golden tests/python/sgl_kernel_npu/test_alloc_extend_slot.py:9-87).
+
+    For each request i, allocate slots for tokens pre_lens[i]..seq_lens[i]:
+    first fill the partial page after last_loc[i], then whole new pages taken
+    in order from free_pages, then a final partial page.
+
+    Returns (out_indices [out_size] int32, -1 padded; num_pages_used []).
+    """
+    pre = pre_lens.astype(jnp.int32)
+    seq = seq_lens.astype(jnp.int32)
+    extend = seq - pre
+    ext_cum = jnp.cumsum(extend)
+    total = ext_cum[-1]
+
+    pre_pages = -(-pre // page_size)  # ceil
+    seq_pages = -(-seq // page_size)
+    new_pages = seq_pages - pre_pages
+    page_start = jnp.cumsum(new_pages) - new_pages  # exclusive
+
+    j = jnp.arange(out_size, dtype=jnp.int32)
+    req = jnp.searchsorted(ext_cum, j, side="right").astype(jnp.int32)
+    req_c = jnp.clip(req, 0, pre.shape[0] - 1)
+    start = ext_cum[req_c] - extend[req_c]
+    p = j - start                                   # index within request
+    pos = pre[req_c] + p                            # absolute token position
+    boundary = pre_pages[req_c] * page_size         # first fresh-page slot
+
+    in_part1 = pos < boundary
+    slot_part1 = last_loc[req_c] + 1 + p
+    new_page_idx = jnp.where(in_part1, 0, (pos - boundary) // page_size)
+    page_id = free_pages[jnp.clip(page_start[req_c] + new_page_idx, 0,
+                                  free_pages.shape[0] - 1)]
+    slot_rest = page_id * page_size + pos % page_size
+
+    out = jnp.where(in_part1, slot_part1, slot_rest).astype(jnp.int32)
+    out = jnp.where(j < total, out, -1)
+    return out, jnp.sum(new_pages)
+
+
+def cache_loc_assign(req_indices, token_pool, start_offset, end_offset, out_cache_loc):
+    """token_pool[req_indices[i], start[i]:end[i]] = out_cache_loc[cum[i]:cum[i+1]].
+
+    Ref: include/sgl_kenel_npu_ops.h:19-24; golden
+    tests/python/sgl_kernel_npu/test_cache_assign.py:8-39 (repeat_interleave form).
+    """
+    bs = req_indices.shape[0]
+    pool_rows, pool_cols = token_pool.shape
+    n = out_cache_loc.shape[0]
+
+    lengths = (end_offset - start_offset).astype(jnp.int32)
+    cum = jnp.cumsum(lengths) - lengths
+    total = jnp.sum(lengths)
+
+    j = jnp.arange(n, dtype=jnp.int32)
+    req = jnp.searchsorted(jnp.cumsum(lengths), j, side="right").astype(jnp.int32)
+    req_c = jnp.clip(req, 0, bs - 1)
+    off = j - cum[req_c]
+    rows = req_indices[req_c]
+    cols = start_offset[req_c] + off
+    valid = j < total
+    rows = jnp.where(valid, rows, pool_rows)
+    return token_pool.at[rows, cols].set(out_cache_loc[j], mode="drop")
+
+
+# cache_loc_update shares the implementation (the reference splits them only by
+# launch style — include/sgl_kenel_npu_ops.h:26-29).
+cache_loc_update = cache_loc_assign
+
+
+def assign_cache_op(dst, src, dst_start_idx, dst_end_idx, src_start_idx, src_end_idx):
+    """dst[dst_start:dst_end] = src[src_start:src_end] with traced scalar bounds
+    (ref: include/sgl_kenel_npu_ops.h:31-36, vectorized inplace slice-copy).
+    Lengths must match; returns updated dst."""
+    n = dst.shape[0]
+    j = jnp.arange(n, dtype=jnp.int32)
+    length = dst_end_idx - dst_start_idx
+    valid = j < length
+    src_rows = jnp.clip(src_start_idx + j, 0, src.shape[0] - 1)
+    tgt = jnp.where(valid, dst_start_idx + j, n)
+    return dst.at[tgt].set(src[src_rows], mode="drop")
+
+
+def transfer_kv_to_host(device_cache):
+    """Device->host paged KV offload with layer-dim exchange
+    (ref: transfer_kv_dim_exchange/op_host/transfer_kv_dim_exchange.cpp:27-60:
+    device [L, P, page, H, D] <-> host [P, L, page, H, D]).
+
+    On TPU, XLA owns HBM; host staging uses pinned_host memory via device_put.
+    """
+    swapped = jnp.swapaxes(device_cache, 0, 1)
+    try:
+        host_dev = jax.devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(host_dev, memory_kind="pinned_host")
+        return jax.device_put(swapped, sharding)
+    except Exception:
+        return jax.device_get(swapped)
+
+
+def transfer_kv_to_device(host_cache, like=None):
+    """Host->device reload with the inverse layer-dim exchange."""
+    arr = jnp.asarray(host_cache)
+    return jnp.swapaxes(arr, 0, 1)

@@ -198,6 +198,35 @@ class Buffer:
         return (recv_x, (scales if quant_mode == "int8" else None),
                 packed_count, layout_range, handle)
 
+    def fused_deep_moe(self, x, topk_idx, topk_weights,
+                       w13_q, w13_scale, w2_q, w2_scale,
+                       capacity_rows: Optional[int] = None):
+        """Single-jit fused MoE layer (ref: Buffer.fused_deep_moe §3.3).
+
+        x [Ttotal, H] sharded over EP; expert weights sharded over EP on dim 0:
+        w13_q [E, H, 2F] int8, w13_scale [E, 2F], w2_q [E, F, H] int8,
+        w2_scale [E, H]. Returns [Ttotal, H].
+        """
+        from . import fused_moe as _fm
+
+        strat = self._low_latency
+        maxt = self.num_max_dispatch_tokens_per_rank
+
+        def fn(x, idx, w, w13q, w13s, w2q, w2s):
+            return _fm.fused_deep_moe_shard(
+                x, idx, w, w13q, w13s, w2q, w2s,
+                strategy=strat, axis_name=self.axis_name,
+                num_experts=self.num_experts, num_ranks=self.num_ranks,
+                num_max_dispatch_tokens_per_rank=maxt,
+                capacity_rows=capacity_rows,
+            )
+
+        return self._smap(
+            fn,
+            in_specs=tuple([self._ep()] * 7),
+            out_specs=self._ep(),
+        )(x, topk_idx, topk_weights, w13_q, w13_scale, w2_q, w2_scale)
+
     def low_latency_combine(self, x, topk_idx, topk_weights, handle):
         """Decode-path combine. Ref: Buffer.low_latency_combine."""
         strat = self._low_latency

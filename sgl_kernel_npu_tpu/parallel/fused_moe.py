@@ -1,0 +1,108 @@
+"""fused_deep_moe — the full MoE layer as one jitted region.
+
+Reference parity: Buffer.fused_deep_moe (python/deep_ep/deep_ep/buffer.py:782-898)
+-> aclnnFusedDeepMoe (csrc/deepep/deep_ep.cpp:1054-1095; device pipeline
+fused_deep_moe.h:38-95): InitRouting + AllToAll + GMM1(int8) +
+dequant-SwiGLU-quant epilogue + GMM2 + dequant + combine, with comm overlapped
+against GEMM tiles via preload-async callbacks.
+
+TPU-native realisation: the whole layer is ONE jit region —
+  low_latency_dispatch (ragged a2a, INT8 payload)
+  -> compaction (InitRouting: valid slots gathered expert-major, group_list)
+  -> grouped INT8 GEMM1 (ragged_dot on the MXU, int8xint8->int32)
+  -> per-token-dequant + SwiGLU + re-quant epilogue (ops.activation.swiglu_quant
+     math, fused by XLA into the GEMM epilogue)
+  -> grouped INT8 GEMM2
+  -> scatter back to the slotted layout -> low_latency_combine.
+XLA's async collective scheduling overlaps the dispatch/combine collectives
+with expert GEMMs of other microbatches; an explicitly double-buffered Pallas
+pipeline is the next optimization tier.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.matmul import grouped_matmul_int8_ref
+from ..ops.quant import per_token_quant_int8
+from .strategies.low_latency import LowLatencyDispatchResult
+
+
+def _compact_slots(recv_counts, num_ranks, num_local_experts, max_tokens, cap):
+    """Expert-major compaction of valid slots in the [El, R*maxT] layout.
+
+    Returns (slot_ids [cap] gather indices (El*R*maxT = invalid), valid [cap],
+    group_list [El] per-expert row counts)."""
+    el, r, maxt = num_local_experts, num_ranks, max_tokens
+    total_slots = el * r * maxt
+    slot_pos = jax.lax.broadcasted_iota(jnp.int32, (el, r, maxt), 2)
+    # recv_counts is [R, El]; valid[e, r, i] = i < recv_counts[r, e]
+    valid = slot_pos < recv_counts.T[:, :, None]
+    flat = jnp.arange(total_slots, dtype=jnp.int32).reshape(el, r, maxt)
+    prio = jnp.where(valid, flat, jnp.int32(2**30))
+    order = jnp.argsort(prio.reshape(-1), stable=True)[:cap]
+    ok = jnp.take_along_axis(prio.reshape(-1), order, 0) < 2**30
+    slot_ids = jnp.where(ok, order, total_slots)
+    group_list = jnp.sum(recv_counts, axis=0)  # [El]
+    return slot_ids, ok, group_list
+
+
+def fused_deep_moe_shard(
+    x, topk_idx, topk_weights,
+    w13_q, w13_scale, w2_q, w2_scale,
+    *, strategy, axis_name, num_experts, num_ranks,
+    num_max_dispatch_tokens_per_rank, capacity_rows: Optional[int] = None,
+):
+    """Per-shard fused MoE layer (call inside shard_map over the EP axis).
+
+    x [T, H] bf16; topk_idx/[T, K]; w13_q [El, H, 2F] int8 with
+    w13_scale [El, 2F] f32; w2_q [El, F, H] int8 with w2_scale [El, H] f32.
+    Returns [T, H] bf16.
+    """
+    t, h = x.shape
+    k = topk_idx.shape[1]
+    r = num_ranks
+    el = num_experts // r
+    maxt = num_max_dispatch_tokens_per_rank
+    f2 = w13_q.shape[-1]
+    f = f2 // 2
+
+    res: LowLatencyDispatchResult = strategy.low_latency_dispatch(
+        x, topk_idx, axis_name=axis_name, num_experts=num_experts,
+        num_ranks=num_ranks, num_max_dispatch_tokens_per_rank=maxt,
+        quant_mode="int8",
+    )
+    cap = capacity_rows or r * maxt * min(k, el)
+
+    slot_ids, ok, group_list = _compact_slots(res.layout_range, r, el, maxt, cap)
+    gat = jnp.clip(slot_ids, 0, el * r * maxt - 1)
+    xq = res.recv_x.reshape(el * r * maxt, h)[gat]               # [cap, H] int8
+    xs = res.recv_x_scales.reshape(el * r * maxt)[gat][:, None]  # [cap, 1]
+    xq = jnp.where(ok[:, None], xq, 0)
+    xs = jnp.where(ok[:, None], xs, 0.0)
+
+    # The compaction is expert-major but group_list boundaries must match the
+    # gathered ordering: rows of expert e are contiguous. (slot prio is
+    # expert-major by construction.)
+    up_gate = grouped_matmul_int8_ref(xq, w13_q, xs, w13_scale, group_list)  # [cap, 2F] bf16
+
+    # dequant-SwiGLU-quant epilogue (GmmDeqSwigluQuant, fused_deep_moe.h:59-95)
+    x1 = up_gate.astype(jnp.float32)[:, :f]
+    x2 = up_gate.astype(jnp.float32)[:, f:]
+    act = x1 * jax.nn.sigmoid(x1) * x2
+    actq, act_scale = per_token_quant_int8(act)
+
+    y = grouped_matmul_int8_ref(actq, w2_q, act_scale, w2_scale, group_list)  # [cap, H] bf16
+
+    # Scatter back into the slotted layout for combine.
+    slotted = jnp.zeros((el * r * maxt + 1, h), y.dtype).at[slot_ids].set(
+        jnp.where(ok[:, None], y, 0), mode="drop"
+    )[: el * r * maxt]
+    out = strategy.low_latency_combine(
+        slotted.reshape(el, r * maxt, h), topk_idx, topk_weights, res.handle,
+        axis_name=axis_name,
+    )
+    return out

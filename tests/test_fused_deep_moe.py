@@ -1,0 +1,84 @@
+"""fused_deep_moe vs a dense numpy MoE golden (reference:
+tests/python/deepep/test_fused_deep_moe.py pattern: quantized fused layer vs
+unquantized dense computation within calc_diff tolerance)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sgl_kernel_npu_tpu.ops import moe_helpers
+from sgl_kernel_npu_tpu.parallel import Buffer
+
+from .utils import calc_diff
+
+R, E, T, K = 8, 16, 8, 4
+H, F = 64, 128
+
+
+def _quant_weights(rng, e, kdim, n):
+    w = (rng.standard_normal((e, kdim, n)) * 0.05).astype(np.float32)
+    scale = np.abs(w).max(axis=1) / 127.0 + 1e-8  # [e, n] per-channel
+    wq = np.clip(np.round(w / scale[:, None, :]), -127, 127).astype(np.int8)
+    return w, wq, scale.astype(np.float32)
+
+
+def _dense_moe(x, topk_idx, topk_w, w13, w2):
+    out = np.zeros_like(x)
+    for t in range(x.shape[0]):
+        for k in range(K):
+            e = topk_idx[t, k]
+            if e < 0:
+                continue
+            ug = x[t] @ w13[e]
+            f = ug.shape[0] // 2
+            act = ug[:f] / (1 + np.exp(-ug[:f])) * ug[f:]
+            out[t] += topk_w[t, k] * (act @ w2[e])
+    return out
+
+
+@pytest.mark.parametrize("strategy", ["default", "alltoall"])
+def test_fused_deep_moe(rng, strategy):
+    mesh = Mesh(np.array(jax.devices()[:R]), ("ep",))
+    buf = Buffer(mesh, E, low_latency_strategy=strategy,
+                 num_max_dispatch_tokens_per_rank=T)
+    total = R * T
+    x = (rng.standard_normal((total, H)) * 0.3).astype(np.float32)
+    topk_idx = np.stack([rng.choice(E, K, replace=False) for _ in range(total)]).astype(np.int32)
+    topk_idx[0, 0] = -1  # dropped slot
+    topk_w = (rng.random((total, K)) * 0.5).astype(np.float32)
+
+    w13, w13q, w13s = _quant_weights(rng, E, H, 2 * F)
+    w2, w2q, w2s = _quant_weights(rng, E, F, H)
+
+    xs = jax.device_put(jnp.array(x, jnp.bfloat16), jax.NamedSharding(mesh, P("ep")))
+    out = buf.fused_deep_moe(
+        xs, jnp.array(topk_idx), jnp.array(topk_w),
+        jnp.array(w13q), jnp.array(w13s), jnp.array(w2q), jnp.array(w2s),
+    )
+    golden = _dense_moe(x, topk_idx, topk_w, w13, w2)
+    diff = calc_diff(np.asarray(out, np.float32), golden)
+    assert diff < 2e-3, f"cosine diff {diff}"
+
+
+def test_mul_add(rng):
+    a = rng.standard_normal((4, 8), dtype=np.float32)
+    b = rng.standard_normal((4, 8), dtype=np.float32)
+    out = moe_helpers.mul_add(jnp.array(a), jnp.array(b), 1.5)
+    np.testing.assert_allclose(np.asarray(out), a * 1.5 + b, rtol=1e-5)
+
+
+def test_zero_experts_compute_identity(rng):
+    s, d, k, ne = 4, 8, 3, 10
+    idx = np.array([[1, 12, 3], [11, 13, 2], [0, 1, 2], [10, 10, 10]], np.int32)
+    scales = rng.random((s, k)).astype(np.float32)
+    hs = rng.standard_normal((s, d), dtype=np.float32)
+    zr, ni, ns = moe_helpers.zero_experts_compute_identity(
+        jnp.array(idx), jnp.array(scales), ne, "identity", jnp.array(hs)
+    )
+    is_zero = idx >= ne
+    golden = hs * (scales * is_zero).sum(1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(zr), golden, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ni), np.where(is_zero, 0, idx))
+    np.testing.assert_allclose(np.asarray(ns), np.where(is_zero, 0, scales))
