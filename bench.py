@@ -24,8 +24,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny config, fast")
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--ctx", type=int, default=384)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--ctx", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -40,6 +40,7 @@ def main():
     else:
         cfg = llama.LlamaConfig()  # 8B-class
         batch, ctx, iters = args.batch, args.ctx, args.iters
+        iters = min(iters, 10)
 
     page_size = cfg.page_size
     max_pages = -(-ctx // page_size)
@@ -68,11 +69,15 @@ def main():
     logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
     logits.block_until_ready()
 
-    t0 = time.perf_counter()
+    # Per-step sync: through remote-tunnel backends, blocking only on the last
+    # value of a chained async loop under-reports wall time wildly.
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
-    logits.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        logits.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     toks_per_s = batch / dt
 

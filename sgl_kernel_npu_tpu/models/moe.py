@@ -1,0 +1,197 @@
+"""DeepSeek-V3-class MoE decoder with expert parallelism (BASELINE.json
+config 4: "DeepSeek-V3/R1 MoE: EP dispatch/combine (INT8 dispatch, BF16
+combine) + fused_deep_moe sharded across hosts").
+
+Structure per layer: GQA attention (paged decode) + routed MoE FFN through the
+EP layer (parallel.fused_moe: low-latency INT8 dispatch -> grouped GEMMs ->
+BF16 combine) + optional shared expert merged via ops.moe_helpers.mul_add.
+The whole decode step runs inside one shard_map over the "ep" mesh axis;
+attention/embedding weights are replicated, expert weights sharded on dim 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.attention.decode import decode_gqa_ref
+from ..ops.moe_helpers import mul_add
+from ..ops.quant import per_token_quant_int8
+from ..ops.matmul import quant_matmul_int8_ref
+from ..ops.rope import apply_rope, make_cos_sin_cache
+from ..ops.kvcache import reshape_and_cache_gqa
+from ..parallel import fused_moe
+from ..parallel.strategy import get_low_latency_strategy
+
+
+@dataclass(frozen=True)
+class MoEConfig:
+    vocab_size: int = 1024
+    hidden_size: int = 256
+    num_layers: int = 2
+    num_heads: int = 8
+    num_kv_heads: int = 4
+    head_dim: int = 32
+    num_experts: int = 16
+    top_k: int = 4
+    moe_intermediate: int = 128
+    shared_intermediate: int = 128
+    routed_scaling_factor: float = 1.0
+    page_size: int = 16
+    rms_eps: float = 1e-6
+    max_position: int = 1024
+
+
+def init_params(cfg: MoEConfig, seed: int = 0) -> Dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    l, h, e, f = cfg.num_layers, cfg.hidden_size, cfg.num_experts, cfg.moe_intermediate
+
+    def w(*shape, s=0.05):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    def w8(*shape, s=0.05):
+        q = jnp.asarray(rng.integers(-127, 128, shape, dtype=np.int8))
+        scale = jnp.full(shape[:1] + shape[-1:], s / 127.0, jnp.float32)
+        return {"q": q, "scale": scale}
+
+    return {
+        "embed": w(cfg.vocab_size, h, s=0.02),
+        "final_norm": jnp.ones((h,), jnp.float32),
+        "lm_head": w(h, cfg.vocab_size, s=0.02),
+        "cos_sin": make_cos_sin_cache(cfg.max_position, cfg.head_dim),
+        "layers": {
+            "in_norm": jnp.ones((l, h), jnp.float32),
+            "wqkv": w(l, h, (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim),
+            "wo": w(l, cfg.num_heads * cfg.head_dim, h),
+            "post_norm": jnp.ones((l, h), jnp.float32),
+            "router": w(l, h, e, s=0.5),
+            # expert weights: [L, E, ...] int8 + per-(expert, out-channel) scales
+            "w13": {
+                "q": jnp.asarray(rng.integers(-127, 128, (l, e, h, 2 * f), dtype=np.int8)),
+                "scale": jnp.full((l, e, 2 * f), 0.05 / 127.0, jnp.float32),
+            },
+            "w2": {
+                "q": jnp.asarray(rng.integers(-127, 128, (l, e, f, h), dtype=np.int8)),
+                "scale": jnp.full((l, e, h), 0.05 / 127.0, jnp.float32),
+            },
+            "shared_w13": w(l, h, 2 * cfg.shared_intermediate),
+            "shared_w2": w(l, cfg.shared_intermediate, h),
+        },
+    }
+
+
+def init_kv_cache(cfg: MoEConfig, num_pages: int):
+    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, cfg.page_size, cfg.head_dim)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
+def _rms(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    return x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps) * w
+
+
+def decode_step_shard(params, cfg: MoEConfig, k_cache, v_cache, input_ids,
+                      positions, seq_lens, block_table, slot_mapping,
+                      *, axis_name: str, num_ranks: int, strategy,
+                      max_tokens: int):
+    """Per-shard decode step (call inside shard_map over the EP axis).
+
+    Token tensors are sharded over the EP axis (data parallel across EP ranks,
+    like SGLang's DP-attention + EP-MoE deployment); expert weights sharded on
+    the expert dim; attention weights replicated.
+    """
+    b = input_ids.shape[0]
+    nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][input_ids]
+    cs = params["cos_sin"][positions]
+    cos, sin = cs[:, : d // 2], cs[:, d // 2:]
+
+    new_kc, new_vc = [], []
+    for li in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[li], params["layers"])
+        h1 = _rms(x, lp["in_norm"], cfg.rms_eps)
+        qkv = h1 @ lp["wqkv"]
+        q = apply_rope(qkv[:, : nq * d].reshape(b, nq, d), cos[:, None], sin[:, None])
+        k = apply_rope(qkv[:, nq * d:(nq + nkv) * d].reshape(b, nkv, d),
+                       cos[:, None], sin[:, None])
+        v = qkv[:, (nq + nkv) * d:].reshape(b, nkv, d)
+        kc, vc = reshape_and_cache_gqa(k, v, k_cache[li], v_cache[li], slot_mapping)
+        att = decode_gqa_ref(q, kc, vc, seq_lens, block_table,
+                             1.0 / d ** 0.5, cfg.page_size)
+        x = x + att.reshape(b, -1) @ lp["wo"]
+        new_kc.append(kc)
+        new_vc.append(vc)
+
+        h2 = _rms(x, lp["post_norm"], cfg.rms_eps)
+        # router (softmax top-k, DeepSeek-style scaling)
+        logits = h2 @ lp["router"]
+        topk_w, topk_i = jax.lax.top_k(jax.nn.softmax(logits, -1), cfg.top_k)
+        topk_w = topk_w / jnp.sum(topk_w, -1, keepdims=True)
+
+        routed = fused_moe.fused_deep_moe_shard(
+            h2.astype(jnp.bfloat16), topk_i.astype(jnp.int32),
+            topk_w * cfg.routed_scaling_factor,
+            lp["w13"]["q"], lp["w13"]["scale"], lp["w2"]["q"], lp["w2"]["scale"],
+            strategy=strategy, axis_name=axis_name,
+            num_experts=cfg.num_experts, num_ranks=num_ranks,
+            num_max_dispatch_tokens_per_rank=max_tokens,
+        ).astype(jnp.float32)
+
+        ug = h2 @ lp["shared_w13"]
+        fs = cfg.shared_intermediate
+        shared = (ug[:, :fs] * jax.nn.sigmoid(ug[:, :fs]) * ug[:, fs:]) @ lp["shared_w2"]
+        x = x + mul_add(routed, shared, 1.0)
+
+    x = _rms(x, params["final_norm"], cfg.rms_eps)
+    return x @ params["lm_head"], jnp.stack(new_kc), jnp.stack(new_vc)
+
+
+def make_decode_step(mesh: Mesh, cfg: MoEConfig, max_tokens: int,
+                     axis_name: str = "ep",
+                     low_latency_strategy: str = "default"):
+    """Builds the jitted multi-chip decode step over `mesh`."""
+    num_ranks = mesh.shape[axis_name]
+    strategy = get_low_latency_strategy(low_latency_strategy)
+    ep = P(axis_name)
+
+    param_specs = {
+        "embed": P(), "final_norm": P(), "lm_head": P(), "cos_sin": P(),
+        "layers": {
+            "in_norm": P(), "wqkv": P(), "wo": P(), "post_norm": P(),
+            "router": P(),
+            "w13": {"q": P(None, axis_name), "scale": P(None, axis_name)},
+            "w2": {"q": P(None, axis_name), "scale": P(None, axis_name)},
+            "shared_w13": P(), "shared_w2": P(),
+        },
+    }
+
+    def fn(params, kc, vc, ids, pos, seq, bt, slots):
+        # expert weights arrive sharded [L, E/R, ...]; renumber to local ids
+        lp = dict(params["layers"])
+        lp["w13"] = params["layers"]["w13"]
+        lp["w2"] = params["layers"]["w2"]
+        p = dict(params)
+        p["layers"] = lp
+        return decode_step_shard(
+            p, cfg, kc, vc, ids, pos, seq, bt, slots,
+            axis_name=axis_name, num_ranks=num_ranks, strategy=strategy,
+            max_tokens=max_tokens,
+        )
+
+    # KV caches are DP over the EP axis: each rank holds its own requests'
+    # pages ([L, Hkv, pages/R, ps, D]); block tables hold rank-local page ids.
+    cache_spec = P(None, None, axis_name)
+    step = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(param_specs, cache_spec, cache_spec, ep, ep, ep, ep, ep),
+            out_specs=(ep, cache_spec, cache_spec),
+            check_vma=False,
+        )
+    )
+    return step, param_specs

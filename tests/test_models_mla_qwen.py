@@ -1,0 +1,137 @@
+"""DeepSeek-MLA and Qwen-Next hybrid model end-to-end smoke + consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_kernel_npu_tpu.models import deepseek_mla, qwen_next
+from sgl_kernel_npu_tpu.ops import speculative as spec
+
+
+def test_mla_decode_step_runs(rng):
+    cfg = deepseek_mla.tiny_config()
+    params = deepseek_mla.init_params(cfg)
+    b, mp_ = 3, 4
+    num_pages = b * mp_ + 1
+    ckv, krope = deepseek_mla.init_kv_cache(cfg, num_pages)
+    bt = jnp.array(rng.permutation(num_pages - 1)[:b * mp_].reshape(b, mp_) + 1,
+                   jnp.int32)
+    seq = jnp.array([1, 20, 45], jnp.int32)
+    pos = seq - 1
+    slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size + pos % cfg.page_size
+    ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+
+    step = jax.jit(lambda p, c, k, i, po, s, b_, sm:
+                   deepseek_mla.decode_step(p, cfg, c, k, i, po, s, b_, sm))
+    logits, ckv2, kr2 = step(params, ckv, krope, ids, pos, seq, bt, slots)
+    assert logits.shape == (b, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.abs(np.asarray(ckv2) - np.asarray(ckv)).sum() > 0  # cache written
+
+
+def test_mla_decode_deterministic_cache_growth(rng):
+    """Two sequential decode steps: second step attends over first's cache
+    entry — logits must differ from re-running step 1 (cache is live)."""
+    cfg = deepseek_mla.tiny_config()
+    params = deepseek_mla.init_params(cfg)
+    b, mp_ = 1, 2
+    ckv, krope = deepseek_mla.init_kv_cache(cfg, 4)
+    bt = jnp.array([[1, 2]], jnp.int32)
+    ids = jnp.array([7], jnp.int32)
+
+    def run(c, k, n, tok):
+        seq = jnp.array([n], jnp.int32)
+        pos = seq - 1
+        slots = bt[0, pos // cfg.page_size] * cfg.page_size + pos % cfg.page_size
+        return deepseek_mla.decode_step(
+            params, cfg, c, k, jnp.array([tok], jnp.int32), pos, seq, bt, slots)
+
+    _, c1, k1 = run(ckv, krope, 1, 7)
+    # step 2 with a warm cache vs a cold (zero) cache must differ: the
+    # attention over slot 0 sees step 1's latent vs zeros.
+    l_warm, _, _ = run(c1, k1, 2, 9)
+    l_cold, _, _ = run(ckv, krope, 2, 9)
+    assert not np.allclose(np.asarray(l_warm), np.asarray(l_cold))
+
+
+def test_mla_with_speculative_verify(rng):
+    """Tree build + greedy verify integration on top of MLA decode logits."""
+    bs, topk, dt = 2, 2, 4
+    parent_list = jnp.array(rng.integers(0, 1, (bs, 8)), jnp.int32)
+    selected = jnp.array([[0, 2, 4], [1, 3, 5]], jnp.int32)
+    seq_lens = jnp.array([5, 9], jnp.int32)
+    pos, ridx, ntok, nsib, mask = spec.build_tree_efficient(
+        parent_list, selected, seq_lens, topk, dt)
+    cands = jnp.array(rng.integers(0, 10, (bs, dt)), jnp.int32)
+    target = jnp.array(rng.integers(0, 10, (bs, dt)), jnp.int32)
+    p, ai, an = spec.verify_tree_greedy(cands, ridx, ntok, nsib, target)
+    assert ai.shape == (bs, dt)
+    assert np.all(np.asarray(an) >= 0)
+
+
+def test_qwen_next_decode_and_prefill(rng):
+    cfg = qwen_next.QwenNextConfig()
+    params = qwen_next.init_params(cfg)
+    b, mp_ = 2, 3
+    num_pages = b * mp_ + 1
+    state = qwen_next.init_state(cfg, b, num_pages)
+    bt = jnp.array(rng.permutation(num_pages - 1)[:b * mp_].reshape(b, mp_) + 1,
+                   jnp.int32)
+    seq = jnp.array([1, 17], jnp.int32)
+    pos = seq - 1
+    slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size + pos % cfg.page_size
+    ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+    li = jnp.array([0, 1], jnp.int32)
+
+    step = jax.jit(lambda p, s, i, po, sq, b_, sm, l:
+                   qwen_next.decode_step(p, cfg, s, i, po, sq, b_, sm, l))
+    logits, state2 = step(params, state, ids, pos, seq, bt, slots, li)
+    assert logits.shape == (b, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.abs(np.asarray(state2["ssm"]) - np.asarray(state["ssm"])).sum() > 0
+
+    # prefill GDN block runs and final state is finite
+    x_seq = jnp.asarray(rng.standard_normal((b, 24, cfg.hidden_size)) * 0.1,
+                        jnp.float32)
+    y, fstate = qwen_next.prefill_gdn_layer(params, cfg, x_seq)
+    assert y.shape == x_seq.shape
+    assert np.all(np.isfinite(np.asarray(fstate)))
+
+
+def test_qwen_next_gdn_prefill_decode_consistency(rng):
+    """GDN block: prefill of T tokens == T sequential decode updates (state)."""
+    cfg = qwen_next.QwenNextConfig()
+    params = qwen_next.init_params(cfg)
+    b, t = 1, 8
+    x_seq = jnp.asarray(rng.standard_normal((b, t, cfg.hidden_size)) * 0.2,
+                        jnp.float32)
+    _, final_state = qwen_next.prefill_gdn_layer(params, cfg, x_seq)
+
+    # decode path: run the same tokens one by one through conv+gdn updates
+    from sgl_kernel_npu_tpu.ops import gdn, mamba
+    p = jax.tree.map(lambda a: a[0], params["gdn"])
+    hqk, hv = cfg.num_qk_heads, cfg.num_v_heads
+    dqk, dv = cfg.head_qk_dim, cfg.head_v_dim
+    r = hv // hqk
+    conv_dim = hqk * 2 * dqk + hv * dv
+    conv = jnp.zeros((b, conv_dim, cfg.conv_width - 1), jnp.float32)
+    ssm = jnp.zeros((b, hv, dqk, dv), jnp.float32)
+    h1 = qwen_next._rms(x_seq, p["in_norm"], cfg.rms_eps)
+    for ti in range(t):
+        flat = h1[:, ti]
+        mixed_qkv, z, bb, aa = gdn.fused_qkvzba_split_reshape_cat(
+            flat @ p["wqkvz"], flat @ p["wba"], hqk, hv, dqk, dv)
+        qkv, conv = mamba.causal_conv1d_update(mixed_qkv, conv, p["conv_w"],
+                                               p["conv_b"], activation="silu")
+        q = qkv[:, :hqk * dqk].reshape(b, 1, hqk, dqk)
+        k = qkv[:, hqk * dqk:2 * hqk * dqk].reshape(b, 1, hqk, dqk)
+        v = qkv[:, 2 * hqk * dqk:].reshape(b, 1, hv, dv)
+        o, ssm_pool = gdn.fused_sigmoid_gating_delta_rule_update(
+            p["A_log"], aa[:, None], p["dt_bias"], 1.0, 20.0,
+            q, k, v, bb[:, None], ssm, jnp.arange(b),
+            use_qk_l2norm_in_kernel=True)
+        ssm = ssm_pool
+
+    # chunk kernel state layout [B, H, Dk, Dv] equals decode [B, HV, K, V]
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(final_state), np.asarray(ssm)) < 2e-3
