@@ -162,18 +162,29 @@ class Buffer:
 
     # --------------------------------------------------------- low latency
 
-    def low_latency_dispatch(self, x, topk_idx, quant_mode: str = "int8"):
-        """Decode-path dispatch. Ref: Buffer.low_latency_dispatch (§3.2)."""
+    def low_latency_dispatch(self, x, topk_idx, quant_mode: str = "int8",
+                             elastic_info=None,
+                             cumulative_local_expert_recv_stats=None):
+        """Decode-path dispatch. Ref: Buffer.low_latency_dispatch (§3.2).
+
+        elastic_info: optional ElasticInfo (parallel.elastic) — scale-down
+        remap consulted per step (ref elasticInfo contract).
+        cumulative_local_expert_recv_stats: optional [E] int32 accumulator of
+        per-expert received-token counts (ref buffer.py:679-681); the updated
+        array is returned as an extra output when provided.
+        """
         if env.bf16_dispatch():
             quant_mode = "bf16"
         strat = self._low_latency
         maxt = self.num_max_dispatch_tokens_per_rank
+        shared = env.shared_expert_rank_num()
 
         def fn(x, idx):
             res = strat.low_latency_dispatch(
                 x, idx, axis_name=self.axis_name,
                 num_experts=self.num_experts, num_ranks=self.num_ranks,
                 num_max_dispatch_tokens_per_rank=maxt, quant_mode=quant_mode,
+                elastic_info=elastic_info, shared_expert_rank_num=shared,
             )
             hd = res.handle
             scales = res.recv_x_scales
@@ -188,6 +199,9 @@ class Buffer:
             out_specs=tuple([self._ep()] * 8),
         )(x, topk_idx)
         recv_x, scales, packed_count, layout_range, c_slot, s_counts, i_off, r_counts = out
+        if cumulative_local_expert_recv_stats is not None:
+            cumulative_local_expert_recv_stats = (
+                cumulative_local_expert_recv_stats + packed_count.reshape(-1))
         t = x.shape[0] // self.num_ranks
         handle = _ll.LowLatencyHandle(
             copy_slot=c_slot, send_counts=s_counts, input_offsets=i_off,
@@ -195,8 +209,11 @@ class Buffer:
             max_tokens=maxt, num_local_experts=self.num_local_experts,
             num_ranks=self.num_ranks,
         )
-        return (recv_x, (scales if quant_mode == "int8" else None),
+        base = (recv_x, (scales if quant_mode == "int8" else None),
                 packed_count, layout_range, handle)
+        if cumulative_local_expert_recv_stats is not None:
+            return base + (cumulative_local_expert_recv_stats,)
+        return base
 
     def fused_deep_moe(self, x, topk_idx, topk_weights,
                        w13_q, w13_scale, w2_q, w2_scale,

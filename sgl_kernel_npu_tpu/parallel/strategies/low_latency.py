@@ -45,6 +45,59 @@ def _exclusive_cumsum(x, axis=0):
     return c - x
 
 
+def _route_copies(topk_idx, num_ranks, num_local_experts, elastic_info=None,
+                  shared_expert_rank_num=0):
+    """(token, k) copy -> (dst rank, local expert slot) group key.
+
+    Reference parity: expert->rank math of moe_distribute_dispatch_v2 with the
+    elasticInfo remap (moe_distribute_dispatch_v2.h:261-283) and shared-expert
+    rank partitioning (deep_ep.cpp:838-846): with S shared ranks, routed
+    experts live on ranks [S, R) and every token sends one extra copy to
+    shared rank (token_idx %% S), stored in that rank's expert-0 slot region.
+
+    Returns (key [T*K(+T)] int32 in [0, R*El] with R*El = drop, valid mask).
+    """
+    r, el = num_ranks, num_local_experts
+    s = shared_expert_rank_num
+    t, k = topk_idx.shape
+    flat = topk_idx.reshape(-1)
+    valid = flat >= 0
+    g = jnp.where(valid, flat, 0)
+
+    if elastic_info is not None:
+        el_eff = jnp.where(
+            elastic_info.flag > 0,
+            jnp.maximum(elastic_info.moe_expert_num, 1)
+            // jnp.maximum(elastic_info.new_world_size - elastic_info.shared_expert_rank_num, 1),
+            el,
+        )
+        el_eff = jnp.maximum(el_eff, 1)
+    else:
+        el_eff = el
+    dst_log = g // el_eff
+    le = g % el_eff
+    if s > 0:
+        dst_log = dst_log + s  # routed experts live after the shared ranks
+    if elastic_info is not None:
+        from ..elastic import remap_dst_rank
+        dst = remap_dst_rank(dst_log, elastic_info, r)
+    else:
+        dst = dst_log
+    ok = valid & (le < el) & (dst < r)
+    key = jnp.where(ok, dst * el + le, r * el)
+
+    if s > 0:
+        # one extra copy per token to shared rank (token %% S), expert slot 0
+        shared_dst = jnp.arange(t, dtype=jnp.int32) % s
+        if elastic_info is not None:
+            from ..elastic import remap_dst_rank
+            shared_dst = remap_dst_rank(shared_dst, elastic_info, r)
+        shared_key = jnp.where(shared_dst < r, shared_dst * el, r * el)
+        key = jnp.concatenate([key, shared_key])
+        ok = jnp.concatenate([ok, shared_dst < r])
+    return key, ok
+
+
 @dataclass
 class LowLatencyHandle:
     """Ref handle tuple (low_latency_strategy.py:94-101): src_info +
@@ -74,22 +127,19 @@ class LowLatencyDispatchResult:
 class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
     def low_latency_dispatch(self, x, topk_idx, *, axis_name, num_experts,
                              num_ranks, num_max_dispatch_tokens_per_rank,
-                             quant_mode="bf16"):
+                             quant_mode="bf16", elastic_info=None,
+                             shared_expert_rank_num=0):
         t, h = x.shape
         k = topk_idx.shape[1]
         r = num_ranks
-        el = num_experts // r
+        s = shared_expert_rank_num
+        el = (num_experts // (r - s)) if s > 0 else num_experts // r
         me = jax.lax.axis_index(axis_name)
         maxt = num_max_dispatch_tokens_per_rank
         assert t <= maxt, f"T={t} exceeds num_max_dispatch_tokens_per_rank={maxt}"
-        tk = t * k
+        tk = t * k + (t if s > 0 else 0)   # +1 shared copy per token
 
-        flat_idx = topk_idx.reshape(-1)                       # [T*K]
-        valid = flat_idx >= 0
-        g = jnp.where(valid, flat_idx, 0)
-        dst = g // el                                          # destination rank
-        le = g % el                                            # local expert there
-        key = jnp.where(valid, dst * el + le, r * el)          # group key, R*El = drop
+        key, _ok = _route_copies(topk_idx, r, el, elastic_info, s)
 
         # Stable sort copies by (dst, expert): the send buffer layout.
         order = jnp.argsort(key, stable=True)                  # [T*K]
@@ -104,7 +154,9 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
         counts = counts.reshape(r, el)
         input_offsets = _exclusive_cumsum(counts.reshape(-1))
 
-        tok = jnp.where(copy_of_slot < tk, copy_of_slot // k, 0)
+        tok = jnp.where(
+            copy_of_slot < t * k, copy_of_slot // k, copy_of_slot - t * k)
+        tok = jnp.where(copy_of_slot < tk, jnp.clip(tok, 0, t - 1), 0)
         if quant_mode == "int8":
             xq, xs = per_token_quant_int8(x)
             send_x = xq[tok]
@@ -153,7 +205,8 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
         el, slots, h = x.shape
         r, maxt, t, k = hd.num_ranks, hd.max_tokens, hd.num_tokens, hd.topk
         me = jax.lax.axis_index(axis_name)
-        tk = t * k
+        tk = hd.copy_slot.shape[0]   # t*k, or t*k + t with shared-expert ranks
+        has_shared = tk > t * k
 
         # Reverse ragged a2a: slice (src=r', e) of my buffer goes back to rank
         # r', landing at their original send-slot offsets.
@@ -174,13 +227,21 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
         )  # [T*K, H] in send-slot order
 
         # Un-sort to (token, k) copies and weighted-sum over k at the source
-        # (ref: BF16 weighted sum in MoeLowLatencyCombine).
+        # (ref: BF16 weighted sum in MoeLowLatencyCombine). Shared-expert
+        # copies (one per token, after the T*K routed copies) add with
+        # weight 1.0.
         slot = jnp.clip(hd.copy_slot, 0, tk - 1)
-        copies = back[slot]                                    # [T*K, H]
-        w = jnp.where(topk_idx.reshape(-1) >= 0, topk_weights.reshape(-1), 0.0)
+        copies = back[slot]                                    # [TK(+T), H]
+        w_routed = jnp.where(topk_idx.reshape(-1) >= 0, topk_weights.reshape(-1), 0.0)
+        if has_shared:
+            w = jnp.concatenate([w_routed, jnp.ones((t,), w_routed.dtype)])
+        else:
+            w = w_routed
         copies = copies.astype(jnp.float32) * w[:, None]
-        combined = jnp.sum(copies.reshape(t, k, h), axis=1)
-        return combined.astype(x.dtype)
+        routed_sum = jnp.sum(copies[: t * k].reshape(t, k, h), axis=1)
+        if has_shared:
+            routed_sum = routed_sum + copies[t * k:]
+        return routed_sum.astype(x.dtype)
 
 
 @register_low_latency_strategy("alltoall")
@@ -192,7 +253,10 @@ class AllToAllLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
 
     def low_latency_dispatch(self, x, topk_idx, *, axis_name, num_experts,
                              num_ranks, num_max_dispatch_tokens_per_rank,
-                             quant_mode="bf16"):
+                             quant_mode="bf16", elastic_info=None,
+                             shared_expert_rank_num=0):
+        assert elastic_info is None and shared_expert_rank_num == 0, \
+            "the alltoall oracle covers the base contract only"
         t, h = x.shape
         k = topk_idx.shape[1]
         r = num_ranks
@@ -223,7 +287,9 @@ class AllToAllLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         slot_ids = jnp.arange(tk)
         within = slot_ids - offsets[jnp.clip(sorted_key, 0, r * el - 1)]
         dense = jnp.zeros((r * el * maxt, h), x.dtype)
-        tok = jnp.where(copy_of_slot < tk, copy_of_slot // k, 0)
+        tok = jnp.where(
+            copy_of_slot < t * k, copy_of_slot // k, copy_of_slot - t * k)
+        tok = jnp.where(copy_of_slot < tk, jnp.clip(tok, 0, t - 1), 0)
         if quant_mode == "int8":
             xq, xs = per_token_quant_int8(x)
             payload = xq[tok]

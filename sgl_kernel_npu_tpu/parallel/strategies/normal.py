@@ -295,3 +295,45 @@ class AllToAllNormalCommStrategy(DefaultNormalCommStrategy):
             recv_count=jnp.sum(recv_sizes),
             recv_tokens_per_expert=recv_tokens_per_expert, handle=handle,
         )
+
+
+# ------------------------------------------------------ long-seq multi-round
+
+def dispatch_long_seq(strategy, x, topk_idx, topk_weights, *, rounds, axis_name,
+                      num_experts, num_ranks, quant_mode="bf16",
+                      capacity_factor=2.0):
+    """Multi-round normal dispatch for long sequences.
+
+    Reference parity: DEEPEP_NORMAL_LONG_SEQ_ROUND
+    (csrc/deepep/deep_ep.cpp:25-28,54-78; cam_moe_combine_normal_multi_round.h):
+    up-to-131072-token batches are tiled through bounded comm windows in
+    <=256 rounds of <=8192 tokens. Here each round is an independent ragged
+    dispatch over a T/rounds slice; receive buffers stay rounds-times smaller.
+
+    Returns a list of per-round DispatchResult (consume round-by-round, which
+    is exactly how the reference overlaps expert compute with later rounds).
+    """
+    t = x.shape[0]
+    assert t % rounds == 0, f"T={t} must divide into {rounds} rounds"
+    pr = t // rounds
+    out = []
+    for i in range(rounds):
+        sl = slice(i * pr, (i + 1) * pr)
+        out.append(strategy.dispatch(
+            x[sl], topk_idx[sl], topk_weights[sl], axis_name=axis_name,
+            num_experts=num_experts, num_ranks=num_ranks,
+            quant_mode=quant_mode, capacity_factor=capacity_factor,
+        ))
+    return out
+
+
+def combine_long_seq(strategy, xs, handles, topk_weights_list, *, axis_name):
+    """Reverse of dispatch_long_seq: per-round combine, concatenated.
+
+    Ref: DEEPEP_NORMAL_COMBINE_ENABLE_LONG_SEQ (deep_ep.cpp:573-577)."""
+    outs, wouts = [], []
+    for x, hd, w in zip(xs, handles, topk_weights_list):
+        o, wo = strategy.combine(x, hd, w, axis_name=axis_name)
+        outs.append(o)
+        wouts.append(wo)
+    return jnp.concatenate(outs, axis=0), jnp.concatenate(wouts, axis=0)
