@@ -1,0 +1,49 @@
+"""helloworld op pattern + rope helpers (reference: test_hello_world.py,
+test_fused_rope_qk_mqa.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_kernel_npu_tpu.ops import helloworld as hw
+from sgl_kernel_npu_tpu.ops import rope
+
+from .utils import assert_close
+
+
+def test_helloworld(rng):
+    x = jnp.asarray(rng.standard_normal((16, 128)), jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((16, 128)), jnp.bfloat16)
+    out = hw.helloworld(x, y)
+    assert_close(out, np.asarray(x, np.float32) + np.asarray(y, np.float32),
+                 rtol=1e-2, atol=1e-2)
+    out_p = hw.helloworld_pallas(x, y)
+    np.testing.assert_array_equal(np.asarray(out_p, np.float32),
+                                  np.asarray(hw.helloworld_ref(x, y), np.float32))
+    assert "sgl_kernel_npu_tpu" in hw.version_info()
+
+
+def test_fused_rope_qk_mqa(rng):
+    t, hq, d, rot = 6, 4, 32, 32
+    q = rng.standard_normal((t, hq * d)).astype(np.float32)
+    k = rng.standard_normal((t, d)).astype(np.float32)
+    cs = np.asarray(rope.make_cos_sin_cache(t, rot))
+    q2, k2 = rope.fused_rope_qk_mqa(jnp.array(q), jnp.array(k), jnp.array(cs), rot)
+    # golden neox rope per head
+    cos, sin = cs[:, : rot // 2], cs[:, rot // 2:]
+    def rot_neox(x, c, s):
+        h = x.shape[-1] // 2
+        return np.concatenate([x[..., :h] * c - x[..., h:] * s,
+                               x[..., h:] * c + x[..., :h] * s], -1)
+    gq = q.reshape(t, hq, d).copy()
+    for hh in range(hq):
+        gq[:, hh, :rot] = rot_neox(gq[:, hh, :rot], cos, sin)
+    gk = k.copy()
+    gk[:, :rot] = rot_neox(k[:, :rot], cos, sin)
+    assert_close(q2.reshape(t, hq, d), gq, rtol=1e-4, atol=1e-4)
+    assert_close(k2, gk, rtol=1e-4, atol=1e-4)
+
+
+def test_make_cos_sin_cache_identity_at_zero():
+    cs = np.asarray(rope.make_cos_sin_cache(4, 8))
+    np.testing.assert_allclose(cs[0, :4], 1.0)   # cos(0)
+    np.testing.assert_allclose(cs[0, 4:], 0.0)   # sin(0)
