@@ -296,3 +296,115 @@ def decode_mla(q, ckv_cache, krope_cache, seq_lens, block_table, sm_scale, page_
     if use_pallas():
         return decode_mla_pallas(q, ckv_cache, krope_cache, seq_lens, block_table, sm_scale, page_size)
     return decode_mla_ref(q, ckv_cache, krope_cache, seq_lens, block_table, sm_scale, page_size)
+
+
+# ------------------------------------------------------------- INT8 KV cache
+
+
+def decode_gqa_int8kv_ref(q, k_cache, v_cache, k_scales, v_scales, seq_lens,
+                          block_table, sm_scale, page_size=None):
+    """INT8-KV decode: caches int8 [Hkv, P, ps, D], scales f32 [Hkv, P, 1, ps]
+    (per token-head). Dequant happens at gather; math matches decode_gqa_ref."""
+    kd = k_cache.astype(jnp.float32) * k_scales.transpose(0, 1, 3, 2)
+    vd = v_cache.astype(jnp.float32) * v_scales.transpose(0, 1, 3, 2)
+    return decode_gqa_ref(q, kd, vd, seq_lens, block_table, sm_scale, page_size)
+
+
+def _gqa_int8kv_kernel(
+    seq_lens_ref, block_table_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
+    m_ref, l_ref, acc_ref,
+    *, page_size, sm_scale, num_page_steps,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    seq_len = seq_lens_ref[b]
+    num_pages_b = pl.cdiv(seq_len, page_size)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p < num_pages_b)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)                 # [G, Dk]
+        ks = ks_ref[0, 0]                                   # [1, ps]
+        vs = vs_ref[0, 0]
+        k = k_ref[0, 0].astype(jnp.float32) * ks.reshape(page_size, 1)
+        v = v_ref[0, 0].astype(jnp.float32) * vs.reshape(page_size, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        col = p * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+
+        m_prev = m_ref[...]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        pexp = jnp.exp(s - m_cur)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            pexp, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[...] = m_cur
+
+    @pl.when(p == num_page_steps - 1)
+    def _():
+        out_ref[0, 0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-37)).astype(out_ref.dtype)
+
+
+def decode_gqa_int8kv_pallas(q, k_cache, v_cache, k_scales, v_scales, seq_lens,
+                             block_table, sm_scale, page_size):
+    b, hq, dk = q.shape
+    hkv, _, ps, _ = k_cache.shape
+    dv = v_cache.shape[-1]
+    assert ps == page_size
+    g = hq // hkv
+    max_pages = block_table.shape[1]
+    q4 = q.reshape(b, hkv, g, dk)
+
+    def kv_index_map(bb, h, p, sl_ref, bt_ref):
+        last = pl.cdiv(sl_ref[bb], page_size) - 1
+        page = bt_ref[bb, jnp.minimum(p, last)]
+        return (h, page, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, dk), lambda bb, h, p, sl, bt: (bb, h, 0, 0)),
+            pl.BlockSpec((1, 1, page_size, dk), kv_index_map),
+            pl.BlockSpec((1, 1, page_size, dv), kv_index_map),
+            pl.BlockSpec((1, 1, 1, page_size), kv_index_map),
+            pl.BlockSpec((1, 1, 1, page_size), kv_index_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, dv), lambda bb, h, p, sl, bt: (bb, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, dv), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_gqa_int8kv_kernel, page_size=page_size, sm_scale=sm_scale,
+                num_page_steps=max_pages),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(seq_lens.astype(jnp.int32), block_table.astype(jnp.int32),
+      q4, k_cache, v_cache, k_scales, v_scales)
+    return out.reshape(b, hq, dv)
+
+
+def decode_gqa_int8kv(q, k_cache, v_cache, k_scales, v_scales, seq_lens,
+                      block_table, sm_scale, page_size):
+    if use_pallas():
+        return decode_gqa_int8kv_pallas(q, k_cache, v_cache, k_scales, v_scales,
+                                        seq_lens, block_table, sm_scale, page_size)
+    return decode_gqa_int8kv_ref(q, k_cache, v_cache, k_scales, v_scales,
+                                 seq_lens, block_table, sm_scale, page_size)

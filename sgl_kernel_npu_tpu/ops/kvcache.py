@@ -153,3 +153,32 @@ def transfer_kv_to_device(host_cache, like=None):
     """Host->device reload with the inverse layer-dim exchange."""
     arr = jnp.asarray(host_cache)
     return jnp.swapaxes(arr, 0, 1)
+
+
+def reshape_and_cache_gqa_int8(k, v, k_cache, v_cache, k_scale_cache,
+                               v_scale_cache, slot_mapping):
+    """INT8 KV-cache scatter with per-(token, head) dynamic scales.
+
+    k, v: [T, Hkv, D]; caches int8 [Hkv, pages, page_size, D];
+    scale caches f32 [Hkv, pages, 1, page_size] (layout chosen so a page's
+    scales are one clean (1, page_size) lane tile for the decode kernel).
+    BASELINE.json config 2 ("INT8 KV-cache") — the quant is the same per-token
+    absmax INT8 as the comm quant (ops/quant.py).
+    """
+    hkv, num_pages, ps, d = k_cache.shape
+    page = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)
+    off = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+
+    def q8(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-7) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127)
+        return q.astype(jnp.int8), scale[..., 0]
+
+    kq, ks = q8(k)   # [T, Hkv, D], [T, Hkv]
+    vq, vs = q8(v)
+    k_cache = k_cache.at[:, page, off].set(kq.transpose(1, 0, 2), mode="drop")
+    v_cache = v_cache.at[:, page, off].set(vq.transpose(1, 0, 2), mode="drop")
+    k_scale_cache = k_scale_cache.at[:, page, 0, off].set(ks.T, mode="drop")
+    v_scale_cache = v_scale_cache.at[:, page, 0, off].set(vs.T, mode="drop")
+    return k_cache, v_cache, k_scale_cache, v_scale_cache

@@ -94,3 +94,47 @@ def test_decode_gqa_single_page(rng):
     )
     golden = _golden_gqa(q, cache, v, seq_lens, bt, 0.5, page_size)
     assert_close(out, golden, rtol=1e-2, atol=1e-2)
+
+
+def test_decode_gqa_int8_kv(rng):
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops import kvcache
+
+    b, hq, hkv, d, page_size, mp = 2, 4, 2, 32, 8, 3
+    num_pages = b * mp + 1
+    kc8 = np.zeros((hkv, num_pages, page_size, d), np.int8)
+    vc8 = np.zeros_like(kc8)
+    ks = np.zeros((hkv, num_pages, 1, page_size), np.float32)
+    vs = np.zeros_like(ks)
+    bt = (np.arange(b * mp).reshape(b, mp) + 1).astype(np.int32)
+    seq_lens = np.array([10, 20], np.int32)
+
+    # fill caches token by token via the int8 scatter
+    kf = rng.standard_normal((int(seq_lens.sum()), hkv, d)).astype(np.float32)
+    vf = rng.standard_normal((int(seq_lens.sum()), hkv, d)).astype(np.float32)
+    slots = []
+    c = 0
+    for i, n in enumerate(seq_lens):
+        for t in range(n):
+            slots.append(bt[i, t // page_size] * page_size + t % page_size)
+            c += 1
+    kc8, vc8, ks, vs = kvcache.reshape_and_cache_gqa_int8(
+        jnp.array(kf), jnp.array(vf), jnp.array(kc8), jnp.array(vc8),
+        jnp.array(ks), jnp.array(vs), jnp.array(slots, dtype=np.int32))
+
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    out8 = decode.decode_gqa_int8kv_ref(
+        jnp.array(q), kc8, vc8, ks, vs, jnp.array(seq_lens), jnp.array(bt),
+        0.2, page_size)
+    out8p = decode.decode_gqa_int8kv_pallas(
+        jnp.array(q), kc8, vc8, ks, vs, jnp.array(seq_lens), jnp.array(bt),
+        0.2, page_size)
+    # golden: fp attention over the ORIGINAL k/v (quant error tolerance)
+    kcf = np.zeros((hkv, num_pages, page_size, d), np.float32)
+    vcf = np.zeros_like(kcf)
+    for i, s in enumerate(slots):
+        kcf[:, s // page_size, s % page_size] = kf[i]
+        vcf[:, s // page_size, s % page_size] = vf[i]
+    golden = _golden_gqa(q, kcf, vcf, seq_lens, bt, 0.2, page_size)
+    assert_close(out8, golden, rtol=5e-2, atol=5e-2)
+    assert_close(out8p, np.asarray(out8), rtol=1e-3, atol=1e-3)
