@@ -28,8 +28,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention.decode import decode_gqa
-from ..ops.kvcache import reshape_and_cache_gqa
+from ..ops.attention.decode import decode_gqa, decode_gqa_int8kv
+from ..ops.kvcache import reshape_and_cache_gqa, reshape_and_cache_gqa_int8
 from ..ops.quant import per_token_quant_int8
 from ..ops.matmul import quant_matmul_int8_ref
 from ..ops.rope import apply_rope, make_cos_sin_cache
@@ -48,6 +48,7 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     page_size: int = 128
     max_position: int = 8192
+    int8_kv: bool = False  # INT8 KV cache (BASELINE config 2)
 
     @property
     def q_size(self):
@@ -112,6 +113,11 @@ def init_params(cfg: LlamaConfig, key) -> Dict[str, Any]:
 
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16):
     shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, cfg.page_size, cfg.head_dim)
+    if cfg.int8_kv:
+        sshape = (cfg.num_layers, cfg.num_kv_heads, num_pages, 1, cfg.page_size)
+        return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(sshape, jnp.float32),
+                "vs": jnp.zeros(sshape, jnp.float32)}
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -126,13 +132,15 @@ def _qmm(x, w):
     return quant_matmul_int8_ref(xq, w["q"], xs, w["scale"], out_dtype=x.dtype)
 
 
-def decode_step(params, cfg: LlamaConfig, k_cache, v_cache,
-                input_ids, positions, seq_lens, block_table, slot_mapping):
-    """One continuous-batching decode step.
+def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
+                   input_ids, positions, seq_lens, block_table, slot_mapping):
+    """One continuous-batching decode step over a KV pytree.
 
+    kv_cache: (k_cache, v_cache) tuple (bf16 mode) or
+    {"k","v","ks","vs"} dict (cfg.int8_kv). Leaves lead with the layer dim.
     input_ids/positions/slot_mapping: [B]; seq_lens: [B] (length INCLUDING the
     new token); block_table: [B, max_pages].
-    Returns (logits [B, V], k_cache, v_cache).
+    Returns (logits [B, V], kv_cache).
     """
     b = input_ids.shape[0]
     hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -144,7 +152,7 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache,
 
     def layer(carry, inputs):
         x, = carry
-        lp, kc, vc = inputs
+        lp, kv = inputs
 
         h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
         qkv = _qmm(h1, lp["wqkv"])
@@ -155,8 +163,16 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache,
         q = apply_rope(q, cos[:, None], sin[:, None])
         k = apply_rope(k, cos[:, None], sin[:, None])
 
-        kc, vc = reshape_and_cache_gqa(k, v, kc, vc, slot_mapping)
-        att = decode_gqa(q, kc, vc, seq_lens, block_table, sm_scale, cfg.page_size)
+        if cfg.int8_kv:
+            kc, vc, ks, vs = reshape_and_cache_gqa_int8(
+                k, v, kv["k"], kv["v"], kv["ks"], kv["vs"], slot_mapping)
+            att = decode_gqa_int8kv(q, kc, vc, ks, vs, seq_lens, block_table,
+                                    sm_scale, cfg.page_size)
+            kv = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+        else:
+            kc, vc = reshape_and_cache_gqa(k, v, kv[0], kv[1], slot_mapping)
+            att = decode_gqa(q, kc, vc, seq_lens, block_table, sm_scale, cfg.page_size)
+            kv = (kc, vc)
         x = x + _qmm(att.reshape(b, -1), lp["wo"])
 
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
@@ -165,15 +181,25 @@ def decode_step(params, cfg: LlamaConfig, k_cache, v_cache,
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
         x = x + _qmm(act, lp["w2"])
-        return (x,), (kc, vc)
+        return (x,), kv
 
-    (x,), (k_cache, v_cache) = jax.lax.scan(
-        layer, (x,), (params["layers"], k_cache, v_cache)
+    (x,), kv_cache = jax.lax.scan(
+        layer, (x,), (params["layers"], kv_cache)
     )
 
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
-    return logits, k_cache, v_cache
+    return logits, kv_cache
+
+
+def decode_step(params, cfg: LlamaConfig, k_cache, v_cache,
+                input_ids, positions, seq_lens, block_table, slot_mapping):
+    """Tuple-cache convenience wrapper (bf16 KV). Returns
+    (logits, k_cache, v_cache)."""
+    logits, (kc, vc) = decode_step_kv(
+        params, cfg, (k_cache, v_cache), input_ids, positions, seq_lens,
+        block_table, slot_mapping)
+    return logits, kc, vc
 
 
 def prefill_step(params, cfg: LlamaConfig, k_cache, v_cache,

@@ -1,0 +1,129 @@
+"""Continuous-batching serving engine — scheduler + paged KV + model stepping.
+
+The reference is a kernel library under SGLang (SURVEY.md §1: no scheduler or
+server in-repo); this module is the minimal engine that exercises the whole
+stack the way SGLang would: the native C++ scheduler (runtime/) assembles
+prefill/decode batches under a token budget, the page pool + radix prefix
+cache manage the paged KV, and the model families (models/) execute the steps.
+
+Greedy decoding; prompts are prefilled in chunks; decode batches are padded to
+a fixed size so the decode step compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import llama
+from .runtime import make_scheduler
+
+
+class LlamaEngine:
+    def __init__(self, cfg: llama.LlamaConfig, params=None, num_pages: int = 256,
+                 decode_batch: int = 8, token_budget: int = 256, seed: int = 0):
+        self.cfg = cfg
+        self.params = params or llama.init_params(cfg, jax.random.PRNGKey(seed))
+        self.kv = llama.init_kv_cache(cfg, num_pages)
+        if not isinstance(self.kv, dict):
+            self.kv = self.kv  # tuple
+        self.sched = make_scheduler(num_pages, cfg.page_size,
+                                    token_budget=token_budget)
+        self.decode_batch = decode_batch
+        self.reqs: Dict[int, dict] = {}
+        self.max_pages = 32
+
+        self._decode = jax.jit(
+            lambda p, kv, i, po, sl, bt, sm: llama.decode_step_kv(
+                p, cfg, kv, i, po, sl, bt, sm))
+        self._prefill = jax.jit(
+            lambda p, kv, i, po, sm: self._prefill_impl(p, kv, i, po, sm),
+            static_argnames=(),
+        )
+
+    def _prefill_impl(self, params, kv, ids, positions, slots):
+        if isinstance(kv, dict):
+            raise NotImplementedError("int8-kv prefill lands with chunked prefill")
+        logits, kc, vc = llama.prefill_step(
+            params, self.cfg, kv[0], kv[1], ids, positions, slots, 0)
+        return logits, (kc, vc)
+
+    def add_request(self, tokens: List[int], max_new_tokens: int = 16) -> int:
+        # chunked prefill across engine steps is a later tier: one chunk today
+        assert len(tokens) <= self.sched.token_budget if hasattr(
+            self.sched, "token_budget") else True
+        rid = self.sched.add_request(tokens, max_new_tokens)
+        pages = self.sched.alloc_pages(
+            -(-(len(tokens) + max_new_tokens) // self.cfg.page_size))
+        self.reqs[rid] = {"tokens": list(tokens), "out": [], "pages": pages,
+                          "len": 0, "max_new": max_new_tokens}
+        return rid
+
+    def _slot(self, r, pos):
+        return r["pages"][pos // self.cfg.page_size] * self.cfg.page_size \
+            + pos % self.cfg.page_size
+
+    def step(self) -> bool:
+        """One scheduler tick. Returns True while work remains."""
+        entries = self.sched.schedule_step()
+        if not entries:
+            return False
+
+        # prefill entries: run each chunk (single-sequence prefill)
+        for e in (x for x in entries if x["kind"] == "prefill"):
+            r = self.reqs[e["req_id"]]
+            lo, n = e["start"], e["len"]
+            ids = jnp.array(r["tokens"][lo:lo + n], jnp.int32)
+            pos = jnp.arange(lo, lo + n, dtype=jnp.int32)
+            slots = jnp.array([self._slot(r, p) for p in range(lo, lo + n)], jnp.int32)
+            logits, self.kv = self._prefill(self.params, self.kv, ids, pos, slots)
+            self.sched.commit_progress(e["req_id"], "prefill", n)
+            r["len"] = lo + n
+            if r["len"] == len(r["tokens"]):
+                r["out"].append(int(jnp.argmax(logits[-1])))
+
+        # decode entries: one padded batch
+        dec = [x for x in entries if x["kind"] == "decode"][: self.decode_batch]
+        if dec:
+            b = self.decode_batch
+            ids = np.zeros(b, np.int32)
+            pos = np.zeros(b, np.int32)
+            seq = np.ones(b, np.int32)
+            bt = np.zeros((b, self.max_pages), np.int32)
+            slots = np.full(b, -1, np.int32)
+            for i, e in enumerate(dec):
+                r = self.reqs[e["req_id"]]
+                cur_len = len(r["tokens"]) + len(r["out"])
+                ids[i] = r["out"][-1] if r["out"] else r["tokens"][-1]
+                pos[i] = cur_len - 1
+                seq[i] = cur_len
+                pages = r["pages"][: self.max_pages]
+                bt[i, : len(pages)] = pages
+                slots[i] = self._slot(r, cur_len - 1)
+            logits, self.kv = self._decode(
+                self.params, self.kv, jnp.array(ids), jnp.array(pos),
+                jnp.array(seq), jnp.array(bt), jnp.array(slots))
+            nxt = np.asarray(jnp.argmax(logits, -1))
+            for i, e in enumerate(dec):
+                r = self.reqs[e["req_id"]]
+                r["out"].append(int(nxt[i]))
+                self.sched.commit_progress(e["req_id"], "decode", 1)
+
+        # retire finished requests (once)
+        for rid, r in list(self.reqs.items()):
+            if not r.get("done") and len(r["out"]) >= r["max_new"]:
+                r["done"] = True
+                self.sched.finish_request(rid)
+                self.sched.release_pages(r["pages"])
+        return True
+
+    def generate(self, prompts: List[List[int]], max_new_tokens: int = 8,
+                 max_steps: int = 200):
+        rids = [self.add_request(p, max_new_tokens) for p in prompts]
+        for _ in range(max_steps):
+            if not self.step():
+                break
+        return [self.reqs[r]["out"][:max_new_tokens] for r in rids]

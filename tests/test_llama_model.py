@@ -67,3 +67,24 @@ def test_decode_step_batch(rng):
     # cache was written at the new slots
     diff = np.abs(np.asarray(kc2) - np.asarray(kc)).sum(axis=(0, 1, 4))
     assert (diff > 0).sum() >= b  # at least one page-slot per request changed
+
+
+def test_decode_step_int8_kv(rng):
+    """INT8 KV cache decode tracks the bf16-KV decode closely."""
+    cfg8 = llama.tiny_config(int8_kv=True)
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    b, num_pages, mp = 2, 16, 3
+    kv8 = llama.init_kv_cache(cfg8, num_pages)
+    kc, vc = llama.init_kv_cache(cfg, num_pages)
+    bt = jnp.array(rng.permutation(num_pages - 1)[: b * mp].reshape(b, mp) + 1, jnp.int32)
+    seq_lens = jnp.array([1, 9], jnp.int32)
+    positions = seq_lens - 1
+    slots = bt[jnp.arange(b), positions // cfg.page_size] * cfg.page_size + positions % cfg.page_size
+    ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+
+    l8, kv8b = llama.decode_step_kv(params, cfg8, kv8, ids, positions, seq_lens, bt, slots)
+    lf, _, _ = llama.decode_step(params, cfg, kc, vc, ids, positions, seq_lens, bt, slots)
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(l8), np.asarray(lf)) < 2e-3
+    assert kv8b["k"].dtype == jnp.int8
