@@ -138,3 +138,17 @@ def test_decode_gqa_int8_kv(rng):
     golden = _golden_gqa(q, kcf, vcf, seq_lens, bt, 0.2, page_size)
     assert_close(out8, golden, rtol=5e-2, atol=5e-2)
     assert_close(out8p, np.asarray(out8), rtol=1e-3, atol=1e-3)
+
+
+def test_decode_gqa_v2_matches_ref(rng):
+    from sgl_kernel_npu_tpu.ops.attention import decode_v2
+    b, hq, hkv, d, page_size, mp = 3, 8, 2, 64, 16, 4
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k_cache, block_table = _make_paged(rng, b, mp, page_size, hkv, d)
+    v_cache = rng.standard_normal(k_cache.shape, dtype=np.float32)
+    seq_lens = np.array([13, 64, 40], np.int32)
+    out = decode_v2.decode_gqa_pallas_v2(
+        jnp.array(q), jnp.array(k_cache), jnp.array(v_cache),
+        jnp.array(seq_lens), jnp.array(block_table), 0.125, page_size)
+    golden = _golden_gqa(q, k_cache, v_cache, seq_lens, block_table, 0.125, page_size)
+    assert_close(out, golden, rtol=1e-2, atol=1e-2, name="v2")
