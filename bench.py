@@ -67,16 +67,24 @@ def main():
     )
 
     logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
-    logits.block_until_ready()
+    float(np.asarray(logits[0, :1])[0])  # device->host sync
 
-    # Per-step sync: through remote-tunnel backends, blocking only on the last
-    # value of a chained async loop under-reports wall time wildly.
-    times = []
-    for _ in range(iters):
+    # Two-point timing with forced device->host syncs: on tunneled backends
+    # block_until_ready can return before execution, and a single sync carries
+    # ~30ms RPC latency — so measure 1 step and 1+K steps and take the slope.
+    def run_k(k, kc, vc):
         t0 = time.perf_counter()
-        logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
-        logits.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        for _ in range(k):
+            logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
+        float(np.asarray(logits[0, :1])[0])
+        return time.perf_counter() - t0, kc, vc
+
+    k_long = max(iters, 5)
+    times = []
+    for _ in range(3):
+        t1, kc, vc = run_k(1, kc, vc)
+        tk, kc, vc = run_k(1 + k_long, kc, vc)
+        times.append((tk - t1) / k_long)
     dt = float(np.median(times))
 
     toks_per_s = batch / dt

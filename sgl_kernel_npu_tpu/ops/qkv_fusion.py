@@ -114,3 +114,27 @@ def fused_split_qk_norm(x, q_norm_weight, kv_norm_weight, q_lora_rank,
     q = _head_rms(q, q_norm_weight, q_norm_bias, eps, q_lora_rank).astype(x.dtype)
     kn = _head_rms(kn, kv_norm_weight, kv_norm_bias, eps, kv_lora_rank).astype(x.dtype)
     return q, kn[:, None, :], kp[:, None, :]
+
+
+def split_qkvgate_gemma_rmsnorm_rope(x, sin, cos, q_hidden_size, kv_hidden_size,
+                                     head_dim, rope_dim, eps, q_weight, k_weight):
+    """Gemma-gated split (ref: split_qkvgate_gemma_rmsnorm_rope,
+    split_qkv_rmsnorm_rope.py:442-745): x [B, 2*qh + 2*kvh] with the q section
+    interleaved per head as [q head_dim | gate head_dim]; q and k get
+    Gemma-style (1 + weight) per-head RMSNorm then rotate-half RoPE on the
+    first rope_dim dims; gate and v pass through.
+
+    Returns (q [B, qh], k [B, kvh], v [B, kvh], gate [B, qh])."""
+    b = x.shape[0]
+    nqh = q_hidden_size // head_dim
+    qgate = x[:, : 2 * q_hidden_size].reshape(b, nqh, 2 * head_dim)
+    q = qgate[..., :head_dim].reshape(b, q_hidden_size)
+    gate = qgate[..., head_dim:].reshape(b, q_hidden_size)
+    k = x[:, 2 * q_hidden_size: 2 * q_hidden_size + kv_hidden_size]
+    v = x[:, 2 * q_hidden_size + kv_hidden_size:]
+
+    q = _head_rms(q, 1.0 + q_weight.astype(jnp.float32), None, eps, head_dim)
+    k = _head_rms(k, 1.0 + k_weight.astype(jnp.float32), None, eps, head_dim)
+    q = _rope_heads(q, sin, cos, head_dim, rope_dim, is_neox_style=True)
+    k = _rope_heads(k, sin, cos, head_dim, rope_dim, is_neox_style=True)
+    return (q.astype(x.dtype), k.astype(x.dtype), v, gate.astype(x.dtype))

@@ -135,7 +135,7 @@ class Buffer:
             sbuf=t * min(k, self.num_ranks),
             rbuf=recv_x.shape[0] // self.num_ranks,
         )
-        return (recv_x, (scales if quant_mode == "int8" else None), recv_idx,
+        return (recv_x, (scales if quant_mode in ("int8", "fp8") else None), recv_idx,
                 recv_w, recv_count, per_expert, handle)
 
     def combine(self, x, handle, topk_weights, config: Optional[Config] = None):
@@ -209,7 +209,7 @@ class Buffer:
             max_tokens=maxt, num_local_experts=self.num_local_experts,
             num_ranks=self.num_ranks,
         )
-        base = (recv_x, (scales if quant_mode == "int8" else None),
+        base = (recv_x, (scales if quant_mode in ("int8", "fp8") else None),
                 packed_count, layout_range, handle)
         if cumulative_local_expert_recv_stats is not None:
             return base + (cumulative_local_expert_recv_stats,)

@@ -161,6 +161,15 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
             xq, xs = per_token_quant_int8(x)
             send_x = xq[tok]
             send_scales = xs[tok][:, 0]
+        elif quant_mode == "fp8":
+            # per-token FP8-E4M3 comm quant (ref quant modes MXFP8/per-token-FP8,
+            # deep_ep.cpp:13-19; block routines quantize_functions.h:62-380)
+            x32 = x.astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+            xs8 = jnp.maximum(absmax, 1e-7) / 448.0
+            xq8 = (x32 / xs8).astype(jnp.float8_e4m3fn)
+            send_x = xq8[tok]
+            send_scales = xs8[tok][:, 0]
         else:
             send_x = x[tok]
             send_scales = None

@@ -226,3 +226,37 @@ def test_fused_split_qk_norm(rng):
     assert_close(q, rms(x[:, :qlr], qw), rtol=1e-3, atol=1e-3)
     assert_close(np.asarray(kn)[:, 0], rms(x[:, qlr:qlr + kvlr], kw), rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(kp)[:, 0], x[:, qlr + kvlr:])
+
+
+def test_split_qkvgate_gemma(rng):
+    b, nqh, nkvh, hd, rope = 3, 2, 1, 8, 8
+    qh, kvh = nqh * hd, nkvh * hd
+    x = rng.standard_normal((b, 2 * qh + 2 * kvh)).astype(np.float32)
+    sin = rng.standard_normal((b, rope)).astype(np.float32)
+    cos = rng.standard_normal((b, rope)).astype(np.float32)
+    qw = rng.standard_normal(hd).astype(np.float32) * 0.1
+    kw = rng.standard_normal(hd).astype(np.float32) * 0.1
+    q, k, v, gate = qkv_fusion.split_qkvgate_gemma_rmsnorm_rope(
+        jnp.array(x), jnp.array(sin), jnp.array(cos), qh, kvh, hd, rope, 1e-6,
+        jnp.array(qw), jnp.array(kw))
+
+    def rms(h, w):
+        h = h.reshape(-1, hd)
+        return h / np.sqrt((h * h).mean(-1, keepdims=True) + 1e-6) * (1 + w)
+
+    def rope_rot(h, s, c):
+        half = rope // 2
+        rot = np.concatenate([-h[..., half:], h[..., :half]], -1)
+        return h * c + rot * s
+
+    xq = x[:, :2 * qh].reshape(b, nqh, 2 * hd)
+    for i in range(b):
+        gq = rms(xq[i, :, :hd].reshape(-1), qw).reshape(nqh, hd)
+        gq = np.stack([rope_rot(gq[j], sin[i], cos[i]) for j in range(nqh)])
+        assert_close(np.asarray(q)[i].reshape(nqh, hd), gq, rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(gate)[i].reshape(nqh, hd),
+                                      xq[i, :, hd:])
+        gk = rms(x[i, 2 * qh:2 * qh + kvh], kw).reshape(nkvh, hd)
+        gk = np.stack([rope_rot(gk[j], sin[i], cos[i]) for j in range(nkvh)])
+        assert_close(np.asarray(k)[i].reshape(nkvh, hd), gk, rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(v)[i], x[i, 2 * qh + kvh:])

@@ -133,3 +133,20 @@ def test_long_seq_multi_round(rng):
     w_valid = np.where(idx >= 0, w, 0.0)
     golden = x * w_valid.sum(-1, keepdims=True)
     assert_close(combined, golden, rtol=1e-3, atol=1e-3)
+
+
+def test_low_latency_fp8_dispatch(rng):
+    mesh = _mesh()
+    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T)
+    total = R * T
+    x = rng.standard_normal((total, H), dtype=np.float32)
+    idx, w = _routing(rng, total)
+    xs = jax.device_put(jnp.array(x), jax.NamedSharding(mesh, P("ep")))
+    recv_x, scales, packed, lr, handle = buf.low_latency_dispatch(
+        xs, jnp.array(idx), quant_mode="fp8")
+    assert recv_x.dtype == jnp.float8_e4m3fn
+    deq = jnp.array(np.asarray(recv_x, np.float32) * np.asarray(scales)[..., None])
+    combined = buf.low_latency_combine(deq, jnp.array(idx), jnp.array(w), handle)
+    w_valid = np.where(idx >= 0, w, 0.0)
+    golden = x * w_valid.sum(-1, keepdims=True)
+    assert_close(combined, golden, rtol=0.1, atol=0.1)
