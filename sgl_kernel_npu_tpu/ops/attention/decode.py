@@ -408,3 +408,37 @@ def decode_gqa_int8kv(q, k_cache, v_cache, k_scales, v_scales, seq_lens,
                                         seq_lens, block_table, sm_scale, page_size)
     return decode_gqa_int8kv_ref(q, k_cache, v_cache, k_scales, v_scales,
                                  seq_lens, block_table, sm_scale, page_size)
+
+
+def decode_mla_int8_ref(q_nope_q, q_pe, ckv_cache_q, krope_cache, q_nope_scale,
+                        ctkv_scale, seq_lens, block_table, sm_scale, page_size=None):
+    """MLA decode over the int8 latent cache (mla_preprocess cache_mode=2:
+    q_nope per-head symmetric int8 with q_nope_scale [H] MULTIPLYING at quant;
+    ctkv per-tensor int8 with scalar ctkv_scale DIVIDING at quant).
+
+    q_nope_q [B, H, Lkv] int8; q_pe [B, H, Lrope] fp; ckv_cache_q
+    [P, ps, Lkv] int8; krope_cache [P, ps, Lrope] fp.
+    Dequant: q_nope = q_q / q_nope_scale[h]; ctkv = ckv_q * ctkv_scale, so
+      qk_nope = (q_q . ckv_q) * ctkv_scale / q_nope_scale[h]
+      out     = (p . ckv_q) * ctkv_scale
+    (int8 x int8 -> int32 on the MXU; fp epilogue.)
+    """
+    b, h, lkv = q_nope_q.shape
+    ps = ckv_cache_q.shape[1]
+    max_pages = block_table.shape[1]
+    cs = jnp.asarray(ctkv_scale, jnp.float32).reshape(())
+
+    ckv_q = ckv_cache_q[block_table].reshape(b, max_pages * ps, lkv)
+    krope = krope_cache[block_table].reshape(b, max_pages * ps, -1).astype(jnp.float32)
+
+    qk_n = jax.lax.dot_general(
+        q_nope_q, ckv_q, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (cs / q_nope_scale.astype(jnp.float32))[None, :, None]
+    qk_r = jnp.einsum("bhd,bnd->bhn", q_pe.astype(jnp.float32), krope)
+    logits = (qk_n + qk_r) * sm_scale
+    mask = jnp.arange(max_pages * ps)[None, :] < seq_lens[:, None]
+    logits = jnp.where(mask[:, None, :], logits, _NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhn,bnd->bhd", p, ckv_q.astype(jnp.float32)) * cs
+    return out

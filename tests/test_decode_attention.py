@@ -152,3 +152,32 @@ def test_decode_gqa_v2_matches_ref(rng):
         jnp.array(seq_lens), jnp.array(block_table), 0.125, page_size)
     golden = _golden_gqa(q, k_cache, v_cache, seq_lens, block_table, 0.125, page_size)
     assert_close(out, golden, rtol=1e-2, atol=1e-2, name="v2")
+
+
+def test_decode_mla_int8_matches_fp(rng):
+    b, h, lkv, lrope, ps, mp = 2, 4, 64, 16, 8, 3
+    num_pages = b * mp + 1
+    ckv = rng.standard_normal((num_pages, ps, lkv)).astype(np.float32) * 0.5
+    krope = rng.standard_normal((num_pages, ps, lrope)).astype(np.float32)
+    bt = (np.arange(b * mp).reshape(b, mp) + 1).astype(np.int32)
+    sl = np.array([10, 20], np.int32)
+    qn = rng.standard_normal((b, h, lkv)).astype(np.float32) * 0.5
+    qp = rng.standard_normal((b, h, lrope)).astype(np.float32)
+
+    # quantize per the mla_preprocess cache_mode=2 formulas
+    qns = np.full(h, 40.0, np.float32)          # multiplies at quant
+    cs = np.float32(0.01)                       # divides at quant
+    qn_q = np.clip(np.round(qn * qns[None, :, None]), -128, 127).astype(np.int8)
+    ckv_q = np.clip(np.round(ckv / cs), -128, 127).astype(np.int8)
+
+    out8 = decode.decode_mla_int8_ref(
+        jnp.array(qn_q), jnp.array(qp), jnp.array(ckv_q), jnp.array(krope),
+        jnp.array(qns), jnp.array(cs), jnp.array(sl), jnp.array(bt), 0.15, ps)
+    # fp golden with the same (dequantized) values
+    q_full = np.concatenate([qn_q.astype(np.float32) / qns[None, :, None],
+                             qp], -1)
+    ref = decode.decode_mla_ref(jnp.array(q_full),
+                                jnp.array(ckv_q.astype(np.float32) * cs),
+                                jnp.array(krope), jnp.array(sl), jnp.array(bt),
+                                0.15, ps)
+    assert_close(out8, np.asarray(ref), rtol=1e-3, atol=1e-3)
