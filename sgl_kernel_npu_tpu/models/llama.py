@@ -250,3 +250,71 @@ def prefill_step(params, cfg: LlamaConfig, k_cache, v_cache,
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
     return logits, k_cache, v_cache
+
+
+def prefill_chunk_step(params, cfg: LlamaConfig, k_cache, v_cache,
+                       input_ids, positions, slot_mapping, block_table,
+                       prefix_len):
+    """Chunked prefill: process a [T]-token chunk of ONE sequence whose first
+    `prefix_len` tokens are already in the paged cache.
+
+    The chunk attends causally to itself and fully to the cached prefix
+    (gathered via block_table [max_pages]). Writes the chunk into the cache.
+    Returns (logits [T, V], k_cache, v_cache).
+    """
+    t = input_ids.shape[0]
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = hq // hkv
+    sm_scale = 1.0 / (d ** 0.5)
+    ps = cfg.page_size
+    max_pages = block_table.shape[0]
+
+    x = params["embed"][input_ids]
+    cs = params["cos_sin"][positions]
+    cos, sin = cs[:, : d // 2], cs[:, d // 2:]
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    def layer(carry, inputs):
+        x, = carry
+        lp, kc, vc = inputs
+        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+        qkv = _qmm(h1, lp["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+        q = apply_rope(q.reshape(t, hq, d), cos[:, None], sin[:, None])
+        k = apply_rope(k.reshape(t, hkv, d), cos[:, None], sin[:, None])
+        v = v.reshape(t, hkv, d)
+        kc, vc = reshape_and_cache_gqa(k, v, kc, vc, slot_mapping)
+
+        # prefix KV gathered from the updated cache (includes this chunk, but
+        # prefix positions < prefix_len mask the overlap away)
+        kp = kc[:, block_table].reshape(hkv, max_pages * ps, d)
+        vp = vc[:, block_table].reshape(hkv, max_pages * ps, d)
+        qh = q.reshape(t, hkv, g, d).astype(jnp.float32)
+
+        s_pre = jnp.einsum("thgd,hnd->hgtn", qh, kp.astype(jnp.float32)) * sm_scale
+        pre_valid = (jnp.arange(max_pages * ps) < prefix_len)[None, None, None, :]
+        s_pre = jnp.where(pre_valid, s_pre, -1e30)
+        s_self = jnp.einsum("thgd,nhd->hgtn", qh, k.astype(jnp.float32)) * sm_scale
+        s_self = jnp.where(causal[None, None], s_self, -1e30)
+
+        s = jnp.concatenate([s_pre, s_self], axis=-1)
+        p = jax.nn.softmax(s, axis=-1)
+        n_pre = max_pages * ps
+        att = jnp.einsum("hgtn,hnd->thgd", p[..., :n_pre], vp.astype(jnp.float32))             + jnp.einsum("hgtn,nhd->thgd", p[..., n_pre:], v.astype(jnp.float32))
+        att = att.reshape(t, hq * d).astype(x.dtype)
+        x = x + _qmm(att, lp["wo"])
+
+        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2, lp["w13"])
+        f = cfg.intermediate_size
+        g32 = ug.astype(jnp.float32)
+        act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"])
+        return (x,), (kc, vc)
+
+    (x,), (k_cache, v_cache) = jax.lax.scan(
+        layer, (x,), (params["layers"], k_cache, v_cache)
+    )
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, k_cache, v_cache

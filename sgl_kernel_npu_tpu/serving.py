@@ -40,21 +40,18 @@ class LlamaEngine:
             lambda p, kv, i, po, sl, bt, sm: llama.decode_step_kv(
                 p, cfg, kv, i, po, sl, bt, sm))
         self._prefill = jax.jit(
-            lambda p, kv, i, po, sm: self._prefill_impl(p, kv, i, po, sm),
-            static_argnames=(),
-        )
+            lambda p, kv, i, po, sm, bt, plen: self._prefill_impl(
+                p, kv, i, po, sm, bt, plen))
 
-    def _prefill_impl(self, params, kv, ids, positions, slots):
+    def _prefill_impl(self, params, kv, ids, positions, slots, bt, prefix_len):
         if isinstance(kv, dict):
-            raise NotImplementedError("int8-kv prefill lands with chunked prefill")
-        logits, kc, vc = llama.prefill_step(
-            params, self.cfg, kv[0], kv[1], ids, positions, slots, 0)
+            raise NotImplementedError("int8-kv prefill lands with the int8 "
+                                      "prefill kernel")
+        logits, kc, vc = llama.prefill_chunk_step(
+            params, self.cfg, kv[0], kv[1], ids, positions, slots, bt, prefix_len)
         return logits, (kc, vc)
 
     def add_request(self, tokens: List[int], max_new_tokens: int = 16) -> int:
-        # chunked prefill across engine steps is a later tier: one chunk today
-        assert len(tokens) <= self.sched.token_budget if hasattr(
-            self.sched, "token_budget") else True
         rid = self.sched.add_request(tokens, max_new_tokens)
         pages = self.sched.alloc_pages(
             -(-(len(tokens) + max_new_tokens) // self.cfg.page_size))
@@ -79,7 +76,12 @@ class LlamaEngine:
             ids = jnp.array(r["tokens"][lo:lo + n], jnp.int32)
             pos = jnp.arange(lo, lo + n, dtype=jnp.int32)
             slots = jnp.array([self._slot(r, p) for p in range(lo, lo + n)], jnp.int32)
-            logits, self.kv = self._prefill(self.params, self.kv, ids, pos, slots)
+            bt = np.zeros(self.max_pages, np.int32)
+            pages = r["pages"][: self.max_pages]
+            bt[: len(pages)] = pages
+            logits, self.kv = self._prefill(
+                self.params, self.kv, ids, pos, slots, jnp.array(bt),
+                jnp.array(lo, jnp.int32))
             self.sched.commit_progress(e["req_id"], "prefill", n)
             r["len"] = lo + n
             if r["len"] == len(r["tokens"]):

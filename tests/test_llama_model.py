@@ -88,3 +88,29 @@ def test_decode_step_int8_kv(rng):
     from .utils import calc_diff
     assert calc_diff(np.asarray(l8), np.asarray(lf)) < 2e-3
     assert kv8b["k"].dtype == jnp.int8
+
+
+def test_chunked_prefill_matches_single_shot(rng):
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    n = 20
+    tokens = jnp.array(rng.integers(0, cfg.vocab_size, n), jnp.int32)
+    bt = jnp.arange(1, 4, dtype=jnp.int32)   # 3 pages (page 16 -> 48 slots)
+    positions = jnp.arange(n, dtype=jnp.int32)
+    slots = bt[positions // cfg.page_size] * cfg.page_size + positions % cfg.page_size
+
+    # single-shot
+    kc0, vc0 = llama.init_kv_cache(cfg, 8)
+    lg_full, kcf, vcf = llama.prefill_step(params, cfg, kc0, vc0, tokens,
+                                           positions, slots, 0)
+
+    # two chunks: 12 + 8
+    kc, vc = llama.init_kv_cache(cfg, 8)
+    lg1, kc, vc = llama.prefill_chunk_step(
+        params, cfg, kc, vc, tokens[:12], positions[:12], slots[:12], bt, 0)
+    lg2, kc, vc = llama.prefill_chunk_step(
+        params, cfg, kc, vc, tokens[12:], positions[12:], slots[12:], bt, 12)
+
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(lg2), np.asarray(lg_full)[12:]) < 2e-3
+    assert calc_diff(np.asarray(kc), np.asarray(kcf)) < 1e-3

@@ -32,3 +32,18 @@ def test_engine_frees_pages(rng):
     free0 = eng.sched.free_pages()
     eng.generate([[1, 2, 3, 4]], max_new_tokens=3)
     assert eng.sched.free_pages() == free0
+
+
+def test_engine_chunked_prefill_long_prompt(rng):
+    """Prompt longer than the token budget: multiple prefill chunks, identical
+    output to a large-budget single-chunk engine."""
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    prompt = list(rng.integers(0, cfg.vocab_size, 30))
+
+    big = LlamaEngine(cfg, params=params, num_pages=64, token_budget=64)
+    out_big = big.generate([prompt], max_new_tokens=5)[0]
+
+    small = LlamaEngine(cfg, params=params, num_pages=64, token_budget=8)
+    out_small = small.generate([prompt], max_new_tokens=5)[0]
+    assert out_small == out_big
