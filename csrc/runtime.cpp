@@ -207,6 +207,12 @@ void skt_release_pages(void* h, const int32_t* pages, int32_t count) {
   for (int32_t i = 0; i < count; ++i) s->pool.release(pages[i]);
 }
 
+// Retain pages (prefix-cache sharing: a request pins cached pages).
+void skt_retain_pages(void* h, const int32_t* pages, int32_t count) {
+  auto* s = static_cast<Scheduler*>(h);
+  for (int32_t i = 0; i < count; ++i) s->pool.retain(pages[i]);
+}
+
 // Build one step's batch.
 // out layout per entry: [req_id_lo, req_id_hi, kind(0=prefill,1=decode),
 //                        chunk_start, chunk_len]

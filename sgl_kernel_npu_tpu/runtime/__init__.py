@@ -53,6 +53,8 @@ def _build_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
         lib.skt_release_pages.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.skt_retain_pages.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.skt_schedule_step.restype = ctypes.c_int32
         lib.skt_schedule_step.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
@@ -113,6 +115,9 @@ class NativeScheduler:
 
     def release_pages(self, pages: List[int]):
         self._lib.skt_release_pages(self._h, _arr(pages), len(pages))
+
+    def retain_pages(self, pages: List[int]):
+        self._lib.skt_retain_pages(self._h, _arr(pages), len(pages))
 
     def schedule_step(self, max_entries: int = 256):
         out = (ctypes.c_int32 * (max_entries * 5))()
@@ -200,6 +205,10 @@ class PyScheduler:
             self._ref[p] -= 1
             if self._ref[p] == 0:
                 self._free.append(p)
+
+    def retain_pages(self, pages):
+        for p in pages:
+            self._ref[p] += 1
 
     def schedule_step(self, max_entries: int = 256):
         entries = []

@@ -53,10 +53,20 @@ class LlamaEngine:
 
     def add_request(self, tokens: List[int], max_new_tokens: int = 16) -> int:
         rid = self.sched.add_request(tokens, max_new_tokens)
-        pages = self.sched.alloc_pages(
-            -(-(len(tokens) + max_new_tokens) // self.cfg.page_size))
+        # radix prefix cache: reuse cached pages for the shared prefix and
+        # skip prefilling it (never reuse the final, partially-filled page).
+        matched, cached_pages = self.sched.match_prefix(tokens)
+        usable = min(matched, max(0, (len(tokens) - 1)) // self.cfg.page_size
+                     * self.cfg.page_size)
+        cached_pages = cached_pages[: usable // self.cfg.page_size]
+        self.sched.retain_pages(cached_pages)
+        need = -(-(len(tokens) + max_new_tokens) // self.cfg.page_size)             - len(cached_pages)
+        pages = cached_pages + self.sched.alloc_pages(need)
         self.reqs[rid] = {"tokens": list(tokens), "out": [], "pages": pages,
-                          "len": 0, "max_new": max_new_tokens}
+                          "len": usable, "max_new": max_new_tokens,
+                          "cached": usable}
+        if usable:
+            self.sched.commit_progress(rid, "prefill", usable)
         return rid
 
     def _slot(self, r, pos):
@@ -86,6 +96,12 @@ class LlamaEngine:
             r["len"] = lo + n
             if r["len"] == len(r["tokens"]):
                 r["out"].append(int(jnp.argmax(logits[-1])))
+                # publish this prompt's full pages into the radix cache
+                full = (len(r["tokens"]) // self.cfg.page_size)
+                if full:
+                    self.sched.insert_prefix(
+                        r["tokens"][: full * self.cfg.page_size],
+                        r["pages"][:full])
 
         # decode entries: one padded batch
         dec = [x for x in entries if x["kind"] == "decode"][: self.decode_batch]

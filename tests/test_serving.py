@@ -47,3 +47,25 @@ def test_engine_chunked_prefill_long_prompt(rng):
     small = LlamaEngine(cfg, params=params, num_pages=64, token_budget=8)
     out_small = small.generate([prompt], max_new_tokens=5)[0]
     assert out_small == out_big
+
+
+def test_engine_prefix_cache_reuse(rng):
+    """Second request sharing a long prefix skips cached prefill and produces
+    identical greedy output."""
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    shared = list(rng.integers(0, cfg.vocab_size, 2 * cfg.page_size))  # 2 pages
+    p1 = shared + [7, 8]
+    p2 = shared + [9, 10, 11]
+
+    eng = LlamaEngine(cfg, params=params, num_pages=64, token_budget=64)
+    o1 = eng.generate([p1], max_new_tokens=4)[0]
+    # p2 should hit the 2-page cached prefix
+    matched, _ = eng.sched.match_prefix(p2)
+    assert matched == 2 * cfg.page_size
+    o2 = eng.generate([p2], max_new_tokens=4)[0]
+
+    # fresh engine without the cache gives the same outputs
+    fresh = LlamaEngine(cfg, params=params, num_pages=64, token_budget=64)
+    assert fresh.generate([p2], max_new_tokens=4)[0] == o2
+    assert fresh.generate([p1], max_new_tokens=4)[0] == o1
