@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--ctx", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--int8-kv", action="store_true",
+                    help="INT8 KV cache (halves KV bytes; config-2 mode)")
     args = ap.parse_args()
 
     from sgl_kernel_npu_tpu.models import llama
@@ -38,7 +40,7 @@ def main():
         cfg = llama.tiny_config()
         batch, ctx, iters = 4, 64, 3
     else:
-        cfg = llama.LlamaConfig()  # 8B-class
+        cfg = llama.LlamaConfig(int8_kv=args.int8_kv)  # 8B-class
         batch, ctx, iters = args.batch, args.ctx, args.iters
         iters = min(iters, 10)
 
@@ -48,7 +50,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     params = llama.init_params(cfg, key)
-    kc, vc = llama.init_kv_cache(cfg, num_pages)
+    kv = llama.init_kv_cache(cfg, num_pages)
 
     rng = np.random.default_rng(0)
     bt = jnp.array(
@@ -62,28 +64,28 @@ def main():
     ids = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
 
     step = jax.jit(
-        lambda p, kc, vc, i, po, sl, b_, sm: llama.decode_step(p, cfg, kc, vc, i, po, sl, b_, sm),
-        donate_argnums=(1, 2),
+        lambda p, kv, i, po, sl, b_, sm: llama.decode_step_kv(p, cfg, kv, i, po, sl, b_, sm),
+        donate_argnums=(1,),
     )
 
-    logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
+    logits, kv = step(params, kv, ids, positions, seq_lens, bt, slots)
     float(np.asarray(logits[0, :1])[0])  # device->host sync
 
     # Two-point timing with forced device->host syncs: on tunneled backends
     # block_until_ready can return before execution, and a single sync carries
     # ~30ms RPC latency — so measure 1 step and 1+K steps and take the slope.
-    def run_k(k, kc, vc):
+    def run_k(k, kv):
         t0 = time.perf_counter()
         for _ in range(k):
-            logits, kc, vc = step(params, kc, vc, ids, positions, seq_lens, bt, slots)
+            logits, kv = step(params, kv, ids, positions, seq_lens, bt, slots)
         float(np.asarray(logits[0, :1])[0])
-        return time.perf_counter() - t0, kc, vc
+        return time.perf_counter() - t0, kv
 
     k_long = max(iters, 5)
     times = []
     for _ in range(3):
-        t1, kc, vc = run_k(1, kc, vc)
-        tk, kc, vc = run_k(1 + k_long, kc, vc)
+        t1, kv = run_k(1, kv)
+        tk, kv = run_k(1 + k_long, kv)
         times.append((tk - t1) / k_long)
     dt = float(np.median(times))
 
@@ -93,13 +95,15 @@ def main():
     h, f, l, v = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
     qs, kvs = cfg.q_size, cfg.kv_size
     weight_bytes = l * (h * (qs + 2 * kvs) + qs * h + h * 2 * f + f * h) + h * v
-    kv_bytes_per_tok = l * 2 * ctx * cfg.num_kv_heads * cfg.head_dim * 2  # bf16 k+v
+    kv_elt = 1 if cfg.int8_kv else 2
+    kv_bytes_per_tok = l * 2 * ctx * cfg.num_kv_heads * cfg.head_dim * kv_elt
     roofline = props.hbm_gbps * 1e9 / (weight_bytes / batch + kv_bytes_per_tok)
     vs_baseline = toks_per_s / roofline
 
     print(json.dumps({
-        "metric": "decode_tokens_per_s_per_chip_llama8b_w8a8"
-                  if not args.smoke else "decode_tokens_per_s_smoke",
+        "metric": ("decode_tokens_per_s_smoke" if args.smoke else
+                   "decode_tokens_per_s_per_chip_llama8b_w8a8" +
+                   ("_int8kv" if args.int8_kv else "")),
         "value": round(toks_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(vs_baseline, 4),

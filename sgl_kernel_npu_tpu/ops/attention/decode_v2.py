@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils import interpret_mode
 
 _NEG_INF = -1e30
+NBUF = 4  # DMA pipeline depth (pages in flight)
 
 
 def _kernel(seq_lens_ref, block_table_ref, q_ref, k_hbm, v_hbm, out_ref,
@@ -47,21 +48,24 @@ def _kernel(seq_lens_ref, block_table_ref, q_ref, k_hbm, v_hbm, out_ref,
         return pltpu.make_async_copy(
             v_hbm.at[h, page], v_buf.at[slot], sems.at[slot, 1])
 
-    # warm-up: start page 0
-    k_dma(0, 0).start()
-    v_dma(0, 0).start()
+    # warm-up: start the first NBUF-1 pages
+    for w in range(NBUF - 1):
+        @pl.when(w < num_pages)
+        def _(w=w):
+            k_dma(w, w).start()
+            v_dma(w, w).start()
 
     q = q_ref[0, 0].astype(jnp.float32)          # [G, Dk]
 
     def body(p, carry):
         m_prev, l_prev = carry
-        slot = jax.lax.rem(p, 2)
-        nxt = jax.lax.rem(p + 1, 2)
+        slot = jax.lax.rem(p, NBUF)
+        nxt = jax.lax.rem(p + NBUF - 1, NBUF)
 
-        @pl.when(p + 1 < num_pages)
+        @pl.when(p + NBUF - 1 < num_pages)
         def _():
-            k_dma(nxt, p + 1).start()
-            v_dma(nxt, p + 1).start()
+            k_dma(nxt, p + NBUF - 1).start()
+            v_dma(nxt, p + NBUF - 1).start()
 
         k_dma(slot, p).wait()
         v_dma(slot, p).wait()
@@ -111,10 +115,10 @@ def decode_gqa_pallas_v2(q, k_cache, v_cache, seq_lens, block_table, sm_scale,
         ],
         out_specs=pl.BlockSpec((1, 1, g, dv), lambda bb, h, sl, bt: (bb, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, page_size, dk), k_cache.dtype),
-            pltpu.VMEM((2, page_size, dv), v_cache.dtype),
+            pltpu.VMEM((NBUF, page_size, dk), k_cache.dtype),
+            pltpu.VMEM((NBUF, page_size, dv), v_cache.dtype),
             pltpu.VMEM((g, dv), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     out = pl.pallas_call(
