@@ -1,4 +1,9 @@
-from .chunk import chunk_gated_delta_rule, chunk_gated_delta_rule_varlen, l2norm  # noqa: F401
+from .chunk import (  # noqa: F401
+    chunk_gated_delta_rule,
+    chunk_gated_delta_rule_varlen,
+    chunk_local_cumsum,
+    l2norm,
+)
 from .gating import (  # noqa: F401
     fused_gdn_gating,
     fused_gdn_gating_without_sigmoid,

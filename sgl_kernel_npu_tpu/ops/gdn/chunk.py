@@ -177,3 +177,21 @@ def chunk_gated_delta_rule_varlen(
     flat = jnp.zeros((total + 1,) + out.shape[2:], out.dtype).at[tgt.reshape(-1)].set(
         out.reshape(nseq * maxt, *out.shape[2:]), mode="drop")[:total]
     return flat[None], final
+
+
+def chunk_local_cumsum(g, chunk_size: int, reverse: bool = False):
+    """Per-chunk inclusive cumsum over the time dim (fla/cumsum.py parity).
+
+    g [B, T, H] -> same shape; each chunk of `chunk_size` positions cumsums
+    independently (the decay-accumulation primitive of the chunk pipeline).
+    """
+    b, t, h = g.shape
+    pad = (-t) % chunk_size
+    gp = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+    n = (t + pad) // chunk_size
+    gc = gp.reshape(b, n, chunk_size, h)
+    if reverse:
+        out = jnp.flip(jnp.cumsum(jnp.flip(gc, 2), axis=2), 2)
+    else:
+        out = jnp.cumsum(gc, axis=2)
+    return out.reshape(b, n * chunk_size, h)[:, :t].astype(g.dtype)

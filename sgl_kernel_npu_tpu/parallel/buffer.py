@@ -88,6 +88,50 @@ class Buffer:
         )
         return fn(topk_idx)
 
+    # ------------------------------------------------------------- config
+
+    @staticmethod
+    def get_dispatch_config(num_ranks: int) -> Config:
+        """Ref: Buffer.get_dispatch_config (buffer.py:138-158)."""
+        return Config.get_dispatch_config(num_ranks)
+
+    @staticmethod
+    def get_combine_config(num_ranks: int) -> Config:
+        """Ref: Buffer.get_combine_config (buffer.py:160-179)."""
+        return Config.get_combine_config(num_ranks)
+
+    def notify_verify(self, topk_idx):
+        """Metadata-only dispatch (ref: Buffer.notify_verify, buffer.py:383-445
+        -> aclnnNotifyDispatch): runs the count exchange and returns
+        (recv_counts [R] rows per source rank, recv_offsets [R],
+        expert_global_offset [E/R], total_recv_token [], max_bs [],
+        recv_tokens_per_expert [E/R]) — all per-rank sharded.
+        """
+        e, r = self.num_experts, self.num_ranks
+        el = e // r
+
+        def fn(idx):
+            ntr, nte, in_rank = _layout(idx, e, r)
+            send_counts = jnp.sum(in_rank.astype(jnp.int32), axis=0)
+            m = jax.lax.all_gather(send_counts, self.axis_name)
+            me = jax.lax.axis_index(self.axis_name)
+            recv_counts = m[:, me]
+            recv_offsets = jnp.cumsum(recv_counts) - recv_counts
+            # per-expert counts across all ranks for MY local experts
+            nte_all = jax.lax.psum(nte, self.axis_name)
+            mine = jax.lax.dynamic_slice(nte_all, (me * el,), (el,))
+            expert_global_offset = jnp.cumsum(mine) - mine
+            total_recv = jnp.sum(recv_counts)
+            max_bs = jnp.max(jnp.sum(in_rank.astype(jnp.int32), axis=1) * 0
+                             + jnp.sum(m, axis=1))
+            return (recv_counts, recv_offsets, expert_global_offset,
+                    total_recv[None], max_bs[None], mine)
+
+        out = self._smap(
+            fn, in_specs=(self._ep(),), out_specs=tuple([self._ep()] * 6),
+        )(topk_idx)
+        return out
+
     # ------------------------------------------------------------- normal
 
     def dispatch(self, x, topk_idx, topk_weights, quant_mode: str = "bf16",

@@ -150,3 +150,22 @@ def test_low_latency_fp8_dispatch(rng):
     w_valid = np.where(idx >= 0, w, 0.0)
     golden = x * w_valid.sum(-1, keepdims=True)
     assert_close(combined, golden, rtol=0.1, atol=0.1)
+
+
+def test_notify_verify(rng):
+    mesh = _mesh()
+    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T)
+    total = R * T
+    idx, _ = _routing(rng, total)
+    rc, ro, ego, tot, mbs, per_exp = buf.notify_verify(jnp.array(idx))
+    rc = np.asarray(rc).reshape(R, R)
+    # total received == total copies after per-rank dedup
+    el = E // R
+    dedup = 0
+    for t_i in range(total):
+        dedup += len({e // el for e in idx[t_i] if e >= 0})
+    assert int(np.asarray(tot).sum() / 1) == int(np.asarray(rc).sum()) == dedup
+    # per-expert counts match global layout
+    from sgl_kernel_npu_tpu.parallel import get_dispatch_layout
+    _, g_nte, _ = get_dispatch_layout(jnp.array(idx), E, R)
+    np.testing.assert_array_equal(np.asarray(per_exp).reshape(-1), np.asarray(g_nte))

@@ -190,3 +190,18 @@ def test_varlen_chunk_gdn(rng):
         assert calc_diff(np.asarray(out)[0, off:off + sl].transpose(1, 0, 2), go[0]) < 1e-4
         assert calc_diff(np.asarray(final)[i], gs[0]) < 1e-4
         off += sl
+
+
+def test_chunk_local_cumsum(rng):
+    g = rng.standard_normal((2, 10, 3)).astype(np.float32)
+    out = gdn.chunk_local_cumsum(jnp.array(g), 4)
+    golden = g.copy()
+    for lo in range(0, 10, 4):
+        golden[:, lo:lo + 4] = np.cumsum(g[:, lo:lo + 4], axis=1)
+    assert_close(out, golden, rtol=1e-5, atol=1e-6)
+    out_r = gdn.chunk_local_cumsum(jnp.array(g), 4, reverse=True)
+    golden_r = g.copy()
+    for lo in range(0, 10, 4):
+        seg = g[:, lo:lo + 4]
+        golden_r[:, lo:lo + 4] = np.flip(np.cumsum(np.flip(seg, 1), 1), 1)
+    assert_close(out_r, golden_r, rtol=1e-5, atol=1e-6)
