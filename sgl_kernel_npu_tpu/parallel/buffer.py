@@ -122,8 +122,8 @@ class Buffer:
             mine = jax.lax.dynamic_slice(nte_all, (me * el,), (el,))
             expert_global_offset = jnp.cumsum(mine) - mine
             total_recv = jnp.sum(recv_counts)
-            max_bs = jnp.max(jnp.sum(in_rank.astype(jnp.int32), axis=1) * 0
-                             + jnp.sum(m, axis=1))
+            # max over ranks of their total send count (ref max_bs)
+            max_bs = jnp.max(jnp.sum(m, axis=1))
             return (recv_counts, recv_offsets, expert_global_offset,
                     total_recv[None], max_bs[None], mine)
 
