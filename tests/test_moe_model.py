@@ -108,3 +108,35 @@ def test_moe_decode_step_matches_dense(rng):
             jnp.array(seq[sl]), jnp.array(bt_local[sl]), jnp.array(slots[sl]))
         diff = calc_diff(np.asarray(logits)[sl], np.asarray(ref))
         assert diff < 5e-3, f"rank {rk}: {diff}"
+
+
+def test_deepseek_v3_decode_step(rng):
+    """DeepSeek-V3-class: MLA attention + EP MoE runs on the mesh, finite,
+    and the MLA latent caches update."""
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as dsv3
+
+    cfg = dsv3.DeepSeekV3Config()
+    params = dsv3.init_params(cfg)
+    mesh = Mesh(np.array(jax.devices()[:R]), ("ep",))
+    per_rank, mp_ = 4, 2
+    total = R * per_rank
+    pages_per_rank = per_rank * mp_ + 1
+    ckv, kr = dsv3.init_kv_cache(cfg, R * pages_per_rank)
+
+    bt = np.stack([rng.permutation(pages_per_rank - 1)[:mp_] + 1
+                   for _ in range(total)]).astype(np.int32)
+    seq = np.tile(np.array([1, 5, 9, 17], np.int32), R)
+    pos = seq - 1
+    slots = bt[np.arange(total), pos // cfg.page_size] * cfg.page_size \
+        + pos % cfg.page_size
+    ids = rng.integers(0, cfg.vocab_size, total).astype(np.int32)
+
+    step, pspecs = dsv3.make_decode_step(mesh, cfg, max_tokens=per_rank)
+    sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, pspecs,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    logits, ckv2, kr2 = step(sharded, ckv, kr, jnp.array(ids), jnp.array(pos),
+                             jnp.array(seq), jnp.array(bt), jnp.array(slots))
+    assert logits.shape == (total, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.abs(np.asarray(ckv2) - np.asarray(ckv)).sum() > 0
