@@ -24,11 +24,12 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny config, fast")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--int8-kv", action="store_true",
-                    help="INT8 KV cache (halves KV bytes; config-2 mode)")
+    ap.add_argument("--int8-kv", action="store_true", default=True,
+                    help="INT8 KV cache (BASELINE config-2 includes it; default on)")
+    ap.add_argument("--bf16-kv", dest="int8_kv", action="store_false")
     args = ap.parse_args()
 
     from sgl_kernel_npu_tpu.models import llama

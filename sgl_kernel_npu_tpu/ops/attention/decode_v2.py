@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils import interpret_mode
 
 _NEG_INF = -1e30
-NBUF = 4  # DMA pipeline depth (pages in flight)
+NBUF = 2  # DMA pipeline depth (NBUF=4 measured no better on v5e)
 
 
 def _kernel(seq_lens_ref, block_table_ref, q_ref, k_hbm, v_hbm, out_ref,
