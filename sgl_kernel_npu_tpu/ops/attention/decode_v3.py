@@ -1,0 +1,141 @@
+"""Flash-decode v3: page-major KV layout, one DMA per page covering ALL KV
+heads.
+
+v2 moves one (head, page) tile (32 KB at ps=128, D=128) per DMA and measures
+~140 GB/s — latency-bound. v3 stores the cache page-major,
+    k_cache [num_pages, Hkv, page_size, D]
+so a single contiguous DMA fetches a page for every head (Hkv x 32 KB = 256 KB
+at Hkv=8), amortizing descriptor latency 8x; heads then compute back-to-back
+from VMEM. Trailing dims stay (page_size, D) = clean (8k, 128) tiles.
+
+Grid is (batch,): one program owns a sequence; the page loop double-buffers
+page p+1's DMA against page p's Hkv head-computations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import interpret_mode
+
+_NEG_INF = -1e30
+NBUF = 2
+
+
+def _kernel(seq_lens_ref, block_table_ref, q_ref, k_hbm, v_hbm, out_ref,
+            k_buf, v_buf, acc_ref, *, page_size, sm_scale, hkv, g):
+    b = pl.program_id(0)
+    seq_len = seq_lens_ref[b]
+    num_pages = pl.cdiv(seq_len, page_size)
+
+    def dma(buf, hbm, slot, page_idx, sem_slot):
+        page = block_table_ref[b, page_idx]
+        return pltpu.make_async_copy(hbm.at[page], buf.at[slot], sem_slot)
+
+    def body(p, carry, k_sems, v_sems):
+        m_prev, l_prev = carry      # [hkv*g, 1]
+        slot = jax.lax.rem(p, NBUF)
+        nxt = jax.lax.rem(p + 1, NBUF)
+
+        @pl.when(p + 1 < num_pages)
+        def _():
+            dma(k_buf, k_hbm, nxt, p + 1, k_sems.at[nxt]).start()
+            dma(v_buf, v_hbm, nxt, p + 1, v_sems.at[nxt]).start()
+
+        dma(k_buf, k_hbm, slot, p, k_sems.at[slot]).wait()
+        dma(v_buf, v_hbm, slot, p, v_sems.at[slot]).wait()
+
+        col = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (g, page_size), 1)
+        valid = col < seq_len
+
+        m_new = m_prev
+        l_new = l_prev
+        for h in range(hkv):                     # static loop over KV heads
+            q = q_ref[0, h].astype(jnp.float32)              # [G, D]
+            k = k_buf[slot, h].astype(jnp.float32)           # [ps, D]
+            v = v_buf[slot, h].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            s = jnp.where(valid, s, _NEG_INF)
+
+            mh_prev = m_new[h * g:(h + 1) * g]
+            mh = jnp.maximum(mh_prev, jnp.max(s, -1, keepdims=True))
+            alpha = jnp.exp(mh_prev - mh)
+            pexp = jnp.exp(s - mh)
+            lh = l_new[h * g:(h + 1) * g] * alpha + jnp.sum(pexp, -1, keepdims=True)
+            acc_ref[h * g:(h + 1) * g, :] = (
+                acc_ref[h * g:(h + 1) * g, :] * alpha
+                + jax.lax.dot_general(pexp, v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+            m_new = m_new.at[h * g:(h + 1) * g].set(mh)
+            l_new = l_new.at[h * g:(h + 1) * g].set(lh)
+        return m_new, l_new
+
+    def run(k_sems, v_sems):
+        dma(k_buf, k_hbm, 0, 0, k_sems.at[0]).start()
+        dma(v_buf, v_hbm, 0, 0, v_sems.at[0]).start()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m0 = jnp.full((hkv * g, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hkv * g, 1), jnp.float32)
+        m_f, l_f = jax.lax.fori_loop(
+            0, num_pages, lambda p, c: body(p, c, k_sems, v_sems), (m0, l0))
+        out_ref[0] = (acc_ref[...] / jnp.maximum(l_f, 1e-37)).astype(out_ref.dtype)
+
+    pl.run_scoped(run, pltpu.SemaphoreType.DMA((NBUF,)),
+                  pltpu.SemaphoreType.DMA((NBUF,)))
+
+
+def decode_gqa_pallas_v3(q, k_cache, v_cache, seq_lens, block_table, sm_scale,
+                         page_size):
+    """q [B, Hq, D]; caches PAGE-MAJOR [num_pages, Hkv, page_size, D]."""
+    b, hq, dk = q.shape
+    _, hkv, ps, _ = k_cache.shape
+    dv = v_cache.shape[-1]
+    assert ps == page_size
+    g = hq // hkv
+    q4 = q.reshape(b, hkv, g, dk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, g, dk), lambda bb, sl, bt: (bb, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hkv * g, dv), lambda bb, sl, bt: (bb, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, hkv, page_size, dk), k_cache.dtype),
+            pltpu.VMEM((NBUF, hkv, page_size, dv), v_cache.dtype),
+            pltpu.VMEM((hkv * g, dv), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel, page_size=page_size, sm_scale=sm_scale, hkv=hkv, g=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv * g, dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret_mode(),
+    )(seq_lens.astype(jnp.int32), block_table.astype(jnp.int32),
+      q4, k_cache, v_cache)
+    return out.reshape(b, hq, dv)
+
+
+def reshape_and_cache_gqa_page_major(k, v, k_cache, v_cache, slot_mapping):
+    """Scatter for the page-major layout: k, v [T, Hkv, D];
+    caches [num_pages, Hkv, page_size, D]."""
+    num_pages, hkv, ps, d = k_cache.shape
+    page = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)
+    off = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+    k_cache = k_cache.at[page, :, off].set(k.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[page, :, off].set(v.astype(v_cache.dtype), mode="drop")
+    return k_cache, v_cache

@@ -181,3 +181,35 @@ def test_decode_mla_int8_matches_fp(rng):
                                 jnp.array(krope), jnp.array(sl), jnp.array(bt),
                                 0.15, ps)
     assert_close(out8, np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
+def test_decode_gqa_v3_matches_ref(rng):
+    from sgl_kernel_npu_tpu.ops.attention import decode_v3
+    b, hq, hkv, d, page_size, mp = 3, 8, 2, 64, 16, 4
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k_hm, block_table = _make_paged(rng, b, mp, page_size, hkv, d)
+    v_hm = rng.standard_normal(k_hm.shape, dtype=np.float32)
+    # convert head-major [hkv, P, ps, d] -> page-major [P, hkv, ps, d]
+    k_pm = jnp.array(k_hm.transpose(1, 0, 2, 3))
+    v_pm = jnp.array(v_hm.transpose(1, 0, 2, 3))
+    seq_lens = np.array([13, 64, 40], np.int32)
+    out = decode_v3.decode_gqa_pallas_v3(
+        jnp.array(q), k_pm, v_pm, jnp.array(seq_lens), jnp.array(block_table),
+        0.125, page_size)
+    golden = _golden_gqa(q, k_hm, v_hm, seq_lens, block_table, 0.125, page_size)
+    assert_close(out, golden, rtol=1e-2, atol=1e-2, name="v3")
+
+
+def test_reshape_and_cache_page_major(rng):
+    from sgl_kernel_npu_tpu.ops.attention import decode_v3
+    t, hkv, d, pages, ps = 5, 2, 8, 6, 4
+    kc = np.zeros((pages, hkv, ps, d), np.float32)
+    k = rng.standard_normal((t, hkv, d)).astype(np.float32)
+    v = rng.standard_normal((t, hkv, d)).astype(np.float32)
+    slots = np.array([0, 5, 13, 22, -1], np.int32)
+    kc2, vc2 = decode_v3.reshape_and_cache_gqa_page_major(
+        jnp.array(k), jnp.array(v), jnp.array(kc), jnp.array(kc), jnp.array(slots))
+    for i, s in enumerate(slots):
+        if s < 0:
+            continue
+        np.testing.assert_array_equal(np.asarray(kc2)[s // ps, :, s % ps], k[i])
