@@ -28,8 +28,14 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention.decode import decode_gqa, decode_gqa_int8kv
-from ..ops.kvcache import reshape_and_cache_gqa, reshape_and_cache_gqa_int8
+from ..ops.attention.decode import decode_gqa_ref
+from ..ops.attention.decode_v3 import (
+    decode_gqa_pallas_v3,
+    decode_gqa_pallas_v3_int8,
+    reshape_and_cache_gqa_page_major,
+    reshape_and_cache_gqa_page_major_int8,
+)
+from ..utils import use_pallas
 from ..ops.quant import per_token_quant_int8
 from ..ops.matmul import quant_matmul_int8_ref
 from ..ops.rope import apply_rope, make_cos_sin_cache
@@ -112,9 +118,11 @@ def init_params(cfg: LlamaConfig, key) -> Dict[str, Any]:
 
 
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16):
-    shape = (cfg.num_layers, cfg.num_kv_heads, num_pages, cfg.page_size, cfg.head_dim)
+    # PAGE-MAJOR layout [L, pages, Hkv, page_size, D]: one DMA per page fetches
+    # all heads (see ops/attention/decode_v3.py).
+    shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
     if cfg.int8_kv:
-        sshape = (cfg.num_layers, cfg.num_kv_heads, num_pages, 1, cfg.page_size)
+        sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads, 1, cfg.page_size)
         return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
                 "ks": jnp.zeros(sshape, jnp.float32),
                 "vs": jnp.zeros(sshape, jnp.float32)}
@@ -164,14 +172,21 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         k = apply_rope(k, cos[:, None], sin[:, None])
 
         if cfg.int8_kv:
-            kc, vc, ks, vs = reshape_and_cache_gqa_int8(
+            kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
                 k, v, kv["k"], kv["v"], kv["ks"], kv["vs"], slot_mapping)
-            att = decode_gqa_int8kv(q, kc, vc, ks, vs, seq_lens, block_table,
-                                    sm_scale, cfg.page_size)
+            att = decode_gqa_pallas_v3_int8(q, kc, vc, ks, vs, seq_lens,
+                                            block_table, sm_scale, cfg.page_size)
             kv = {"k": kc, "v": vc, "ks": ks, "vs": vs}
         else:
-            kc, vc = reshape_and_cache_gqa(k, v, kv[0], kv[1], slot_mapping)
-            att = decode_gqa(q, kc, vc, seq_lens, block_table, sm_scale, cfg.page_size)
+            kc, vc = reshape_and_cache_gqa_page_major(k, v, kv[0], kv[1], slot_mapping)
+            if use_pallas():
+                att = decode_gqa_pallas_v3(q, kc, vc, seq_lens, block_table,
+                                           sm_scale, cfg.page_size)
+            else:
+                # ref path expects head-major; transpose the page-major view
+                att = decode_gqa_ref(q, kc.transpose(1, 0, 2, 3),
+                                     vc.transpose(1, 0, 2, 3), seq_lens,
+                                     block_table, sm_scale, cfg.page_size)
             kv = (kc, vc)
         x = x + _qmm(att.reshape(b, -1), lp["wo"])
 
@@ -226,7 +241,7 @@ def prefill_step(params, cfg: LlamaConfig, k_cache, v_cache,
         q = apply_rope(q.reshape(t, hq, d), cos[:, None], sin[:, None])
         k = apply_rope(k.reshape(t, hkv, d), cos[:, None], sin[:, None])
         v = v.reshape(t, hkv, d)
-        kc, vc = reshape_and_cache_gqa(k, v, kc, vc, slot_mapping)
+        kc, vc = reshape_and_cache_gqa_page_major(k, v, kc, vc, slot_mapping)
 
         qh = q.reshape(t, hkv, g, d).astype(jnp.float32)
         s = jnp.einsum("thgd,nhd->hgtn", qh, k.astype(jnp.float32)) * sm_scale
@@ -283,12 +298,12 @@ def prefill_chunk_step(params, cfg: LlamaConfig, k_cache, v_cache,
         q = apply_rope(q.reshape(t, hq, d), cos[:, None], sin[:, None])
         k = apply_rope(k.reshape(t, hkv, d), cos[:, None], sin[:, None])
         v = v.reshape(t, hkv, d)
-        kc, vc = reshape_and_cache_gqa(k, v, kc, vc, slot_mapping)
+        kc, vc = reshape_and_cache_gqa_page_major(k, v, kc, vc, slot_mapping)
 
-        # prefix KV gathered from the updated cache (includes this chunk, but
-        # prefix positions < prefix_len mask the overlap away)
-        kp = kc[:, block_table].reshape(hkv, max_pages * ps, d)
-        vp = vc[:, block_table].reshape(hkv, max_pages * ps, d)
+        # prefix KV gathered from the updated page-major cache (includes this
+        # chunk; prefix positions < prefix_len mask the overlap away)
+        kp = kc[block_table].transpose(1, 0, 2, 3).reshape(hkv, max_pages * ps, d)
+        vp = vc[block_table].transpose(1, 0, 2, 3).reshape(hkv, max_pages * ps, d)
         qh = q.reshape(t, hkv, g, d).astype(jnp.float32)
 
         s_pre = jnp.einsum("thgd,hnd->hgtn", qh, kp.astype(jnp.float32)) * sm_scale

@@ -213,3 +213,35 @@ def test_reshape_and_cache_page_major(rng):
         if s < 0:
             continue
         np.testing.assert_array_equal(np.asarray(kc2)[s // ps, :, s % ps], k[i])
+
+
+def test_decode_gqa_v3_int8(rng):
+    from sgl_kernel_npu_tpu.ops.attention import decode_v3
+    b, hq, hkv, d, ps, mp = 2, 4, 2, 32, 8, 3
+    npg = b * mp + 1
+    kc8 = np.zeros((npg, hkv, ps, d), np.int8)
+    vc8 = np.zeros_like(kc8)
+    ks = np.zeros((npg, hkv, 1, ps), np.float32)
+    vs = np.zeros_like(ks)
+    bt = (np.arange(b * mp).reshape(b, mp) + 1).astype(np.int32)
+    sl = np.array([10, 20], np.int32)
+    kf = rng.standard_normal((int(sl.sum()), hkv, d)).astype(np.float32)
+    vf = rng.standard_normal((int(sl.sum()), hkv, d)).astype(np.float32)
+    slots = []
+    for i, n in enumerate(sl):
+        for t in range(n):
+            slots.append(bt[i, t // ps] * ps + t % ps)
+    kc8, vc8, ks, vs = decode_v3.reshape_and_cache_gqa_page_major_int8(
+        jnp.array(kf), jnp.array(vf), jnp.array(kc8), jnp.array(vc8),
+        jnp.array(ks), jnp.array(vs), jnp.array(slots, dtype=np.int32))
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    out = decode_v3.decode_gqa_pallas_v3_int8(
+        jnp.array(q), kc8, vc8, ks, vs, jnp.array(sl), jnp.array(bt), 0.2, ps)
+    # fp golden on the original values (head-major for the helper)
+    kcf = np.zeros((hkv, npg, ps, d), np.float32)
+    vcf = np.zeros_like(kcf)
+    for i, s in enumerate(slots):
+        kcf[:, s // ps, s % ps] = kf[i]
+        vcf[:, s // ps, s % ps] = vf[i]
+    golden = _golden_gqa(q, kcf, vcf, sl, bt, 0.2, ps)
+    assert_close(out, golden, rtol=5e-2, atol=5e-2)
