@@ -24,7 +24,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny config, fast")
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ctx", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--int8-kv", action="store_true", default=True,
