@@ -1,1 +1,1 @@
-from . import low_latency, normal, pallas_ll  # noqa: F401
+from . import layered, low_latency, normal, pallas_ll  # noqa: F401
