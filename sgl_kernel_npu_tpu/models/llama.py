@@ -123,9 +123,10 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16):
     shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
     if cfg.int8_kv:
         sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads, 1, cfg.page_size)
+        # scales in bf16: halves scale-cache bytes; absmax/127 fits bf16 range
         return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
-                "ks": jnp.zeros(sshape, jnp.float32),
-                "vs": jnp.zeros(sshape, jnp.float32)}
+                "ks": jnp.zeros(sshape, jnp.bfloat16),
+                "vs": jnp.zeros(sshape, jnp.bfloat16)}
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -159,8 +160,10 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     cos, sin = cs[:, : d // 2], cs[:, d // 2 :]
 
     def layer(carry, inputs):
-        x, = carry
-        lp, kv = inputs
+        # the FULL stacked KV cache rides in the carry so XLA updates it in
+        # place (scan xs->ys stacking would copy gigabytes per step)
+        x, kv_all, li = carry
+        lp = inputs
 
         h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
         qkv = _qmm(h1, lp["wqkv"])
@@ -171,14 +174,21 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         q = apply_rope(q, cos[:, None], sin[:, None])
         k = apply_rope(k, cos[:, None], sin[:, None])
 
+        def upd(full, one):
+            return jax.lax.dynamic_update_slice_in_dim(full, one[None], li, 0)
+
+        kv_l = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+            a, li, 0, keepdims=False), kv_all)
         if cfg.int8_kv:
             kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
-                k, v, kv["k"], kv["v"], kv["ks"], kv["vs"], slot_mapping)
+                k, v, kv_l["k"], kv_l["v"], kv_l["ks"], kv_l["vs"], slot_mapping)
             att = decode_gqa_pallas_v3_int8(q, kc, vc, ks, vs, seq_lens,
                                             block_table, sm_scale, cfg.page_size)
-            kv = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+            kv_all = {"k": upd(kv_all["k"], kc), "v": upd(kv_all["v"], vc),
+                      "ks": upd(kv_all["ks"], ks), "vs": upd(kv_all["vs"], vs)}
         else:
-            kc, vc = reshape_and_cache_gqa_page_major(k, v, kv[0], kv[1], slot_mapping)
+            kc, vc = reshape_and_cache_gqa_page_major(k, v, kv_l[0], kv_l[1],
+                                                      slot_mapping)
             if use_pallas():
                 att = decode_gqa_pallas_v3(q, kc, vc, seq_lens, block_table,
                                            sm_scale, cfg.page_size)
@@ -187,7 +197,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                 att = decode_gqa_ref(q, kc.transpose(1, 0, 2, 3),
                                      vc.transpose(1, 0, 2, 3), seq_lens,
                                      block_table, sm_scale, cfg.page_size)
-            kv = (kc, vc)
+            kv_all = (upd(kv_all[0], kc), upd(kv_all[1], vc))
         x = x + _qmm(att.reshape(b, -1), lp["wo"])
 
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
@@ -196,10 +206,10 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
         x = x + _qmm(act, lp["w2"])
-        return (x,), kv
+        return (x, kv_all, li + 1), ()
 
-    (x,), kv_cache = jax.lax.scan(
-        layer, (x,), (params["layers"], kv_cache)
+    (x, kv_cache, _), _ = jax.lax.scan(
+        layer, (x, kv_cache, jnp.int32(0)), params["layers"]
     )
 
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)

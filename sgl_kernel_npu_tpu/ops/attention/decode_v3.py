@@ -180,8 +180,8 @@ def _kernel_int8(seq_lens_ref, block_table_ref, q_ref, k_hbm, v_hbm,
 
         for h in range(hkv):
             q = q_ref[0, h].astype(jnp.float32)
-            ks = ks_buf[slot, h]                              # [1, ps]
-            vs = vs_buf[slot, h]
+            ks = ks_buf[slot, h].astype(jnp.float32)          # [1, ps]
+            vs = vs_buf[slot, h].astype(jnp.float32)
             k = k_buf[slot, h].astype(jnp.float32) * ks.reshape(page_size, 1)
             v = v_buf[slot, h].astype(jnp.float32) * vs.reshape(page_size, 1)
             s = jax.lax.dot_general(
@@ -239,8 +239,8 @@ def decode_gqa_pallas_v3_int8(q, k_cache, v_cache, k_scales, v_scales,
         scratch_shapes=[
             pltpu.VMEM((NBUF, hkv, page_size, dk), k_cache.dtype),
             pltpu.VMEM((NBUF, hkv, page_size, dv), v_cache.dtype),
-            pltpu.VMEM((NBUF, hkv, 1, page_size), jnp.float32),
-            pltpu.VMEM((NBUF, hkv, 1, page_size), jnp.float32),
+            pltpu.VMEM((NBUF, hkv, 1, page_size), k_scales.dtype),
+            pltpu.VMEM((NBUF, hkv, 1, page_size), v_scales.dtype),
             pltpu.VMEM((hkv * g, dv), jnp.float32),
             pltpu.VMEM((hkv * g, 1), jnp.float32),
             pltpu.VMEM((hkv * g, 1), jnp.float32),
@@ -278,6 +278,8 @@ def reshape_and_cache_gqa_page_major_int8(k, v, k_cache, v_cache,
     vq, vs = q8(v)
     k_cache = k_cache.at[page, :, off].set(kq, mode="drop")
     v_cache = v_cache.at[page, :, off].set(vq, mode="drop")
-    k_scale_cache = k_scale_cache.at[page, :, 0, off].set(ks, mode="drop")
-    v_scale_cache = v_scale_cache.at[page, :, 0, off].set(vs, mode="drop")
+    k_scale_cache = k_scale_cache.at[page, :, 0, off].set(
+        ks.astype(k_scale_cache.dtype), mode="drop")
+    v_scale_cache = v_scale_cache.at[page, :, 0, off].set(
+        vs.astype(v_scale_cache.dtype), mode="drop")
     return k_cache, v_cache, k_scale_cache, v_scale_cache
