@@ -123,10 +123,11 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16):
     shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
     if cfg.int8_kv:
         sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads, 1, cfg.page_size)
-        # scales in bf16: halves scale-cache bytes; absmax/127 fits bf16 range
+        # f32 scales: tiny (no D dim) and bf16's (16,128) tiling rejects the
+        # singleton dim on real TPUs
         return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
-                "ks": jnp.zeros(sshape, jnp.bfloat16),
-                "vs": jnp.zeros(sshape, jnp.bfloat16)}
+                "ks": jnp.zeros(sshape, jnp.float32),
+                "vs": jnp.zeros(sshape, jnp.float32)}
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
