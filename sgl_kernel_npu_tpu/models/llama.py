@@ -32,8 +32,6 @@ from ..ops.attention.decode import decode_gqa_ref
 from ..ops.attention.decode_v3 import (
     decode_gqa_pallas_v3,
     decode_gqa_pallas_v3_int8,
-    decode_gqa_pallas_v3_int8_stacked,
-    decode_gqa_pallas_v3_stacked,
     reshape_and_cache_gqa_page_major,
     reshape_and_cache_gqa_page_major_int8,
 )
@@ -177,48 +175,30 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         q = apply_rope(q, cos[:, None], sin[:, None])
         k = apply_rope(k, cos[:, None], sin[:, None])
 
-        # scatter straight into the stacked [L, ...] caches (single in-place
-        # scatter per array; no per-layer slice copies)
-        num_pages_t = kv_all["k"].shape[1] if cfg.int8_kv else kv_all[0].shape[1]
-        page = jnp.where(slot_mapping >= 0, slot_mapping // cfg.page_size,
-                         num_pages_t)
-        off = jnp.where(slot_mapping >= 0, slot_mapping % cfg.page_size, 0)
-        if cfg.int8_kv:
-            def q8(xv):
-                absmax = jnp.max(jnp.abs(xv.astype(jnp.float32)), -1, keepdims=True)
-                scale = jnp.maximum(absmax, 1e-7) / 127.0
-                return (jnp.clip(jnp.round(xv.astype(jnp.float32) / scale),
-                                 -128, 127).astype(jnp.int8), scale[..., 0])
+        def upd(full, one):
+            return jax.lax.dynamic_update_slice_in_dim(full, one[None], li, 0)
 
-            kq, ksc = q8(k)
-            vq, vsc = q8(v)
-            kv_all = {
-                "k": kv_all["k"].at[li, page, :, off].set(kq, mode="drop"),
-                "v": kv_all["v"].at[li, page, :, off].set(vq, mode="drop"),
-                "ks": kv_all["ks"].at[li, page, :, 0, off].set(ksc, mode="drop"),
-                "vs": kv_all["vs"].at[li, page, :, 0, off].set(vsc, mode="drop"),
-            }
-            att = decode_gqa_pallas_v3_int8_stacked(
-                q, kv_all["k"], kv_all["v"], kv_all["ks"], kv_all["vs"],
-                seq_lens, block_table, sm_scale, cfg.page_size, li)
+        kv_l = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+            a, li, 0, keepdims=False), kv_all)
+        if cfg.int8_kv:
+            kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
+                k, v, kv_l["k"], kv_l["v"], kv_l["ks"], kv_l["vs"], slot_mapping)
+            att = decode_gqa_pallas_v3_int8(q, kc, vc, ks, vs, seq_lens,
+                                            block_table, sm_scale, cfg.page_size)
+            kv_all = {"k": upd(kv_all["k"], kc), "v": upd(kv_all["v"], vc),
+                      "ks": upd(kv_all["ks"], ks), "vs": upd(kv_all["vs"], vs)}
         else:
-            kv_all = (
-                kv_all[0].at[li, page, :, off].set(
-                    k.astype(kv_all[0].dtype), mode="drop"),
-                kv_all[1].at[li, page, :, off].set(
-                    v.astype(kv_all[1].dtype), mode="drop"),
-            )
+            kc, vc = reshape_and_cache_gqa_page_major(k, v, kv_l[0], kv_l[1],
+                                                      slot_mapping)
             if use_pallas():
-                att = decode_gqa_pallas_v3_stacked(
-                    q, kv_all[0], kv_all[1], seq_lens, block_table, sm_scale,
-                    cfg.page_size, li)
+                att = decode_gqa_pallas_v3(q, kc, vc, seq_lens, block_table,
+                                           sm_scale, cfg.page_size)
             else:
                 # ref path expects head-major; transpose the page-major view
-                kc = jax.lax.dynamic_index_in_dim(kv_all[0], li, 0, keepdims=False)
-                vc = jax.lax.dynamic_index_in_dim(kv_all[1], li, 0, keepdims=False)
                 att = decode_gqa_ref(q, kc.transpose(1, 0, 2, 3),
                                      vc.transpose(1, 0, 2, 3), seq_lens,
                                      block_table, sm_scale, cfg.page_size)
+            kv_all = (upd(kv_all[0], kc), upd(kv_all[1], vc))
         x = x + _qmm(att.reshape(b, -1), lp["wo"])
 
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)

@@ -27,17 +27,15 @@ _NEG_INF = -1e30
 NBUF = 2
 
 
-def _kernel(seq_lens_ref, block_table_ref, layer_ref, q_ref, k_hbm, v_hbm,
-            out_ref, k_buf, v_buf, acc_ref, m_ref, l_ref,
-            *, page_size, sm_scale, hkv, g):
+def _kernel(seq_lens_ref, block_table_ref, q_ref, k_hbm, v_hbm, out_ref,
+            k_buf, v_buf, acc_ref, m_ref, l_ref, *, page_size, sm_scale, hkv, g):
     b = pl.program_id(0)
     seq_len = seq_lens_ref[b]
-    li = layer_ref[0]
     num_pages = pl.cdiv(seq_len, page_size)
 
     def dma(buf, hbm, slot, page_idx, sem_slot):
         page = block_table_ref[b, page_idx]
-        return pltpu.make_async_copy(hbm.at[li, page], buf.at[slot], sem_slot)
+        return pltpu.make_async_copy(hbm.at[page], buf.at[slot], sem_slot)
 
     def body(p, _, k_sems, v_sems):
         slot = jax.lax.rem(p, NBUF)
@@ -93,27 +91,25 @@ def _kernel(seq_lens_ref, block_table_ref, layer_ref, q_ref, k_hbm, v_hbm,
                   pltpu.SemaphoreType.DMA((NBUF,)))
 
 
-def decode_gqa_pallas_v3_stacked(q, k_cache, v_cache, seq_lens, block_table,
-                                 sm_scale, page_size, layer_index):
-    """Stacked-cache variant: caches [L, num_pages, Hkv, page_size, D] with a
-    traced layer index — the kernel DMAs [layer, page] tiles directly, so the
-    caller never slices the layer out (no per-layer copy under lax.scan)."""
+def decode_gqa_pallas_v3(q, k_cache, v_cache, seq_lens, block_table, sm_scale,
+                         page_size):
+    """q [B, Hq, D]; caches PAGE-MAJOR [num_pages, Hkv, page_size, D]."""
     b, hq, dk = q.shape
-    _, _, hkv, ps, _ = k_cache.shape
+    _, hkv, ps, _ = k_cache.shape
     dv = v_cache.shape[-1]
     assert ps == page_size
     g = hq // hkv
     q4 = q.reshape(b, hkv, g, dk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hkv, g, dk), lambda bb, sl, bt, li: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, g, dk), lambda bb, sl, bt: (bb, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, hkv * g, dv), lambda bb, sl, bt, li: (bb, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv * g, dv), lambda bb, sl, bt: (bb, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((NBUF, hkv, page_size, dk), k_cache.dtype),
             pltpu.VMEM((NBUF, hkv, page_size, dv), v_cache.dtype),
@@ -131,16 +127,8 @@ def decode_gqa_pallas_v3_stacked(q, k_cache, v_cache, seq_lens, block_table,
         ),
         interpret=interpret_mode(),
     )(seq_lens.astype(jnp.int32), block_table.astype(jnp.int32),
-      jnp.reshape(layer_index, (1,)).astype(jnp.int32), q4, k_cache, v_cache)
+      q4, k_cache, v_cache)
     return out.reshape(b, hq, dv)
-
-
-def decode_gqa_pallas_v3(q, k_cache, v_cache, seq_lens, block_table, sm_scale,
-                         page_size):
-    """q [B, Hq, D]; caches PAGE-MAJOR [num_pages, Hkv, page_size, D]."""
-    return decode_gqa_pallas_v3_stacked(
-        q, k_cache[None], v_cache[None], seq_lens, block_table, sm_scale,
-        page_size, jnp.int32(0))
 
 
 def reshape_and_cache_gqa_page_major(k, v, k_cache, v_cache, slot_mapping):
@@ -154,18 +142,17 @@ def reshape_and_cache_gqa_page_major(k, v, k_cache, v_cache, slot_mapping):
     return k_cache, v_cache
 
 
-def _kernel_int8(seq_lens_ref, block_table_ref, layer_ref, q_ref, k_hbm, v_hbm,
+def _kernel_int8(seq_lens_ref, block_table_ref, q_ref, k_hbm, v_hbm,
                  ks_hbm, vs_hbm, out_ref,
                  k_buf, v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref,
                  *, page_size, sm_scale, hkv, g):
     b = pl.program_id(0)
     seq_len = seq_lens_ref[b]
-    li = layer_ref[0]
     num_pages = pl.cdiv(seq_len, page_size)
 
     def dma(buf, hbm, slot, page_idx, sem_slot):
         page = block_table_ref[b, page_idx]
-        return pltpu.make_async_copy(hbm.at[li, page], buf.at[slot], sem_slot)
+        return pltpu.make_async_copy(hbm.at[page], buf.at[slot], sem_slot)
 
     def start_all(slot, p, sems):
         dma(k_buf, k_hbm, slot, p, sems.at[slot, 0]).start()
@@ -227,29 +214,28 @@ def _kernel_int8(seq_lens_ref, block_table_ref, layer_ref, q_ref, k_hbm, v_hbm,
     pl.run_scoped(run, pltpu.SemaphoreType.DMA((NBUF, 4)))
 
 
-def decode_gqa_pallas_v3_int8_stacked(q, k_cache, v_cache, k_scales, v_scales,
-                                      seq_lens, block_table, sm_scale,
-                                      page_size, layer_index):
-    """Stacked INT8 variant: caches [L, P, Hkv, ps, D] int8 + scales
-    [L, P, Hkv, 1, ps] f32, with a traced layer index."""
+def decode_gqa_pallas_v3_int8(q, k_cache, v_cache, k_scales, v_scales,
+                              seq_lens, block_table, sm_scale, page_size):
+    """INT8 page-major decode: caches int8 [P, Hkv, ps, D], scales f32
+    [P, Hkv, 1, ps]."""
     b, hq, dk = q.shape
-    _, _, hkv, ps, _ = k_cache.shape
+    _, hkv, ps, _ = k_cache.shape
     dv = v_cache.shape[-1]
     assert ps == page_size
     g = hq // hkv
     q4 = q.reshape(b, hkv, g, dk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hkv, g, dk), lambda bb, sl, bt, li: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, g, dk), lambda bb, sl, bt: (bb, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, hkv * g, dv), lambda bb, sl, bt, li: (bb, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv * g, dv), lambda bb, sl, bt: (bb, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((NBUF, hkv, page_size, dk), k_cache.dtype),
             pltpu.VMEM((NBUF, hkv, page_size, dv), v_cache.dtype),
@@ -270,18 +256,8 @@ def decode_gqa_pallas_v3_int8_stacked(q, k_cache, v_cache, k_scales, v_scales,
         ),
         interpret=interpret_mode(),
     )(seq_lens.astype(jnp.int32), block_table.astype(jnp.int32),
-      jnp.reshape(layer_index, (1,)).astype(jnp.int32),
       q4, k_cache, v_cache, k_scales, v_scales)
     return out.reshape(b, hq, dv)
-
-
-def decode_gqa_pallas_v3_int8(q, k_cache, v_cache, k_scales, v_scales,
-                              seq_lens, block_table, sm_scale, page_size):
-    """INT8 page-major decode: caches int8 [P, Hkv, ps, D], scales f32
-    [P, Hkv, 1, ps]."""
-    return decode_gqa_pallas_v3_int8_stacked(
-        q, k_cache[None], v_cache[None], k_scales[None], v_scales[None],
-        seq_lens, block_table, sm_scale, page_size, jnp.int32(0))
 
 
 def reshape_and_cache_gqa_page_major_int8(k, v, k_cache, v_cache,
