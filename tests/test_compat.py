@@ -1,0 +1,24 @@
+"""Parity audit: every reference op name resolves to a callable."""
+
+from sgl_kernel_npu_tpu import compat
+
+
+def _check_ns(ns):
+    for name, fn in vars(ns).items():
+        assert callable(fn), name
+
+
+def test_all_reference_names_resolve():
+    _check_ns(compat.npu)
+    _check_ns(compat.attentions)
+    _check_ns(compat.sgl_kernel)
+    _check_ns(compat.deep_ep)
+    _check_ns(compat.torch_memory_saver)
+
+
+def test_surface_counts():
+    # the canonical csrc surface (include/sgl_kenel_npu_ops.h + catlass) is
+    # fully mapped
+    assert len(vars(compat.npu)) >= 25
+    assert len(vars(compat.attentions)) == 5
+    assert len(vars(compat.sgl_kernel)) >= 35
