@@ -192,3 +192,64 @@ def decode_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
     x = _rms(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
     return logits, ckv_cache, krope_cache
+
+
+def prefill_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
+                 input_ids, positions, slot_mapping):
+    """Single-sequence MLA prefill: mla_preprocess on the whole chunk (the
+    reference op serves prefill too, tokenNum <= 1024 — mla_preprocess
+    README.md:53), then causal latent attention over the written cache.
+
+    Returns (logits [T, V], ckv_cache, krope_cache)."""
+    t = input_ids.shape[0]
+    heads = cfg.num_heads
+    sm_scale = 1.0 / ((cfg.qk_nope_dim + cfg.qk_rope_dim) ** 0.5)
+
+    x = params["embed"][input_ids]
+    cos = params["cos"][positions]
+    sin = params["sin"][positions]
+    causal = jnp.tril(jnp.ones((t, t), bool))
+
+    def layer(carry, inputs):
+        (x,) = carry
+        lp, ckv_c, kr_c = inputs
+        out = mp.mla_preprocess(
+            x, lp["gamma0"], lp["beta0"],
+            lp["wdqkv"]["q"], lp["wdqkv"]["descale"],
+            lp["gamma1"], lp["beta1"], lp["wuq"]["q"], lp["wuq"]["descale"],
+            lp["gamma2"], cos, sin, lp["wuk"],
+            ckv_c, kr_c, slot_mapping,
+            lp["qscale0"], lp["qoffset0"], lp["wdqkv"]["bias"],
+            lp["qscale1"], lp["qoffset1"], lp["wuq"]["bias"],
+            cache_mode="krope_ctkv",
+        )
+        # causal latent attention within the chunk (latents straight from the
+        # fusion, no cache gather needed for single-sequence prefill)
+        qn = out.q_nope.astype(jnp.float32)          # [T, H, Lkv]
+        qp = out.q_pe.astype(jnp.float32)            # [T, H, Lrope]
+        # gather this chunk's latents back from the cache slots
+        ps = cfg.page_size
+        page = slot_mapping // ps
+        off = slot_mapping % ps
+        ckv_rows = out.kv_cache[page, off].astype(jnp.float32)     # [T, Lkv]
+        kr_rows = out.krope_cache[page, off].astype(jnp.float32)   # [T, Lrope]
+        s = (jnp.einsum("thd,nd->thn", qn, ckv_rows)
+             + jnp.einsum("thd,nd->thn", qp, kr_rows)) * sm_scale
+        s = jnp.where(causal[:, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        att = jnp.einsum("thn,nd->thd", p, ckv_rows)
+        att = jnp.einsum("bhk,hkd->bhd", att, lp["wuv"])
+        x = x + _qmm(att.reshape(t, -1).astype(x.dtype), lp["wo"])
+
+        h2 = _rms(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2, lp["w13"]).astype(jnp.float32)
+        f = cfg.intermediate_size
+        act = (ug[:, :f] * jax.nn.sigmoid(ug[:, :f]) * ug[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"])
+        return (x,), (out.kv_cache, out.krope_cache)
+
+    (x,), (ckv_cache, krope_cache) = jax.lax.scan(
+        layer, (x,), (params["layers"], ckv_cache, krope_cache))
+    x = _rms(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, ckv_cache, krope_cache

@@ -135,3 +135,30 @@ def test_qwen_next_gdn_prefill_decode_consistency(rng):
     # chunk kernel state layout [B, H, Dk, Dv] equals decode [B, HV, K, V]
     from .utils import calc_diff
     assert calc_diff(np.asarray(final_state), np.asarray(ssm)) < 2e-3
+
+
+def test_mla_prefill_decode_consistency(rng):
+    """MLA: prefill(n) + decode(1) == prefill(n+1) last logits."""
+    cfg = deepseek_mla.tiny_config()
+    params = deepseek_mla.init_params(cfg)
+    n = 11
+    tokens = jnp.array(rng.integers(0, cfg.vocab_size, n + 1), jnp.int32)
+    ckv, kr = deepseek_mla.init_kv_cache(cfg, 8)
+    bt = jnp.array([[1, 2, 3]], jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    slots = bt[0, pos // cfg.page_size] * cfg.page_size + pos % cfg.page_size
+
+    _, c1, k1 = deepseek_mla.prefill_step(params, cfg, ckv, kr, tokens[:n], pos, slots)
+    pos_n = jnp.array([n], jnp.int32)
+    slot_n = (bt[0, n // cfg.page_size] * cfg.page_size + n % cfg.page_size)[None]
+    lg_dec, _, _ = deepseek_mla.decode_step(
+        params, cfg, c1, k1, tokens[n:n + 1], pos_n,
+        jnp.array([n + 1], jnp.int32), bt, slot_n)
+
+    ckv0, kr0 = deepseek_mla.init_kv_cache(cfg, 8)
+    pos2 = jnp.arange(n + 1, dtype=jnp.int32)
+    slots2 = bt[0, pos2 // cfg.page_size] * cfg.page_size + pos2 % cfg.page_size
+    lg_full, _, _ = deepseek_mla.prefill_step(params, cfg, ckv0, kr0,
+                                              tokens, pos2, slots2)
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(lg_dec)[0], np.asarray(lg_full)[-1]) < 2e-3
