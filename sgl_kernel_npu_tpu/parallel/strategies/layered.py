@@ -126,14 +126,9 @@ class LayeredLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         key2 = jnp.where(s_ici < n_ici, s_ici * el + s_le, n_ici * el)
         order2 = jnp.argsort(key2, stable=True)
         k2s = key2[order2]
-        sbuf2 = rbuf1
         gat2 = jnp.clip(order2, 0, rbuf1 - 1)
         x2 = jnp.where((k2s < n_ici * el)[:, None], stage_x[gat2], 0)
         src2 = jnp.where(k2s < n_ici * el, s_src[gat2], r)
-
-        counts2 = jnp.sum(jax.nn.one_hot(key2, n_ici * el + 1, dtype=jnp.int32),
-                          axis=0)[: n_ici * el]               # per (ici, le)
-        off2 = _exclusive_cumsum(counts2)
 
         # within the destination, rows must land at slot src_global*maxT + i,
         # grouped per (expert, src): order hop-2 sends by (ici, le, src).
