@@ -344,3 +344,84 @@ def prefill_chunk_step(params, cfg: LlamaConfig, k_cache, v_cache,
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
     return logits, k_cache, v_cache
+
+
+def decode_verify_step(params, cfg: LlamaConfig, k_cache, v_cache,
+                       input_ids, positions, tree_mask, seq_lens,
+                       block_table, slot_mapping):
+    """Multi-token verification step (EAGLE/MTP): each request carries
+    `dt` draft tokens attending to its paged prefix AND tree-masked draft
+    block (ops.speculative.build_tree_efficient's mask).
+
+    input_ids/positions/slot_mapping [B, dt]; tree_mask [B, dt, dt] bool
+    (token i attends draft token j); seq_lens [B] prefix length (EXCLUDING
+    drafts); block_table [B, max_pages]. bf16-KV tuple caches.
+    Returns (logits [B, dt, V], k_cache, v_cache).
+    """
+    b, dt = input_ids.shape
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = hq // hkv
+    sm_scale = 1.0 / (d ** 0.5)
+    ps = cfg.page_size
+    max_pages = block_table.shape[1]
+
+    x = params["embed"][input_ids]                      # [B, dt, H]
+    cs = params["cos_sin"][positions]                   # [B, dt, D]
+    cos, sin = cs[..., : d // 2], cs[..., d // 2:]
+
+    def layer(carry, inputs):
+        x, kv_all, li = carry
+        lp = inputs
+        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+        qkv = _qmm(h1.reshape(b * dt, -1), lp["wqkv"]).reshape(b, dt, -1)
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+        q = apply_rope(q.reshape(b, dt, hq, d), cos[:, :, None], sin[:, :, None])
+        k = apply_rope(k.reshape(b, dt, hkv, d), cos[:, :, None], sin[:, :, None])
+        v = v.reshape(b, dt, hkv, d)
+
+        # write drafts into the cache (slots for the draft block)
+        kv_l = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+            a, li, 0, keepdims=False), kv_all)
+        kc, vc = reshape_and_cache_gqa_page_major(
+            k.reshape(b * dt, hkv, d), v.reshape(b * dt, hkv, d),
+            kv_l[0], kv_l[1], slot_mapping.reshape(-1))
+
+        # prefix attention (paged, ref gather) + tree-masked draft attention
+        kp = kc[block_table].transpose(0, 2, 1, 3, 4).reshape(
+            b, hkv, max_pages * ps, d)
+        vp = vc[block_table].transpose(0, 2, 1, 3, 4).reshape(
+            b, hkv, max_pages * ps, d)
+        qh = q.reshape(b, dt, hkv, g, d).astype(jnp.float32)
+
+        s_pre = jnp.einsum("bthgd,bhnd->bhgtn", qh, kp.astype(jnp.float32)) * sm_scale
+        pre_ok = (jnp.arange(max_pages * ps)[None] < seq_lens[:, None])
+        s_pre = jnp.where(pre_ok[:, None, None, None, :], s_pre, -1e30)
+        s_tree = jnp.einsum("bthgd,bnhd->bhgtn", qh,
+                            k.astype(jnp.float32)) * sm_scale
+        s_tree = jnp.where(tree_mask[:, None, None], s_tree, -1e30)
+
+        s = jnp.concatenate([s_pre, s_tree], axis=-1)
+        p = jax.nn.softmax(s, axis=-1)
+        n_pre = max_pages * ps
+        att = jnp.einsum("bhgtn,bhnd->bthgd", p[..., :n_pre], vp.astype(jnp.float32)) \
+            + jnp.einsum("bhgtn,bnhd->bthgd", p[..., n_pre:], v.astype(jnp.float32))
+        att = att.reshape(b, dt, hq * d).astype(x.dtype)
+        x = x + _qmm(att.reshape(b * dt, -1), lp["wo"]).reshape(b, dt, -1)
+
+        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2.reshape(b * dt, -1), lp["w13"])
+        f = cfg.intermediate_size
+        g32 = ug.astype(jnp.float32)
+        act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"]).reshape(b, dt, -1)
+
+        def upd(full, one):
+            return jax.lax.dynamic_update_slice_in_dim(full, one[None], li, 0)
+
+        return (x, (upd(kv_all[0], kc), upd(kv_all[1], vc)), li + 1), ()
+
+    (x, (k_cache, v_cache), _), _ = jax.lax.scan(
+        layer, (x, (k_cache, v_cache), jnp.int32(0)), params["layers"])
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x.reshape(b * dt, -1), params["lm_head"]).astype(jnp.float32)
+    return logits.reshape(b, dt, -1), k_cache, v_cache

@@ -114,3 +114,58 @@ def test_chunked_prefill_matches_single_shot(rng):
     from .utils import calc_diff
     assert calc_diff(np.asarray(lg2), np.asarray(lg_full)[12:]) < 2e-3
     assert calc_diff(np.asarray(kc), np.asarray(kcf)) < 1e-3
+
+
+def test_decode_verify_step_linear_chain_matches_sequential(rng):
+    """Verification of a linear draft chain == running the tokens one by one:
+    the self-speculative invariant that makes EAGLE lossless."""
+    from sgl_kernel_npu_tpu.ops import speculative as spec
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(9))
+    n, dt = 7, 3
+    tokens = jnp.array(rng.integers(0, cfg.vocab_size, n + dt), jnp.int32)
+    bt = jnp.array([[1, 2, 3]], jnp.int32)
+
+    # prefill the prefix
+    kc, vc = llama.init_kv_cache(cfg, 8)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    slots = bt[0, pos // cfg.page_size] * cfg.page_size + pos % cfg.page_size
+    _, kc, vc = llama.prefill_step(params, cfg, kc, vc, tokens[:n], pos, slots, 0)
+
+    # verify a LINEAR chain of dt drafts (tree mask = causal)
+    draft_pos = jnp.arange(n, n + dt, dtype=jnp.int32)[None]
+    draft_slots = (bt[0, draft_pos[0] // cfg.page_size] * cfg.page_size
+                   + draft_pos[0] % cfg.page_size)[None]
+    tree_mask = jnp.tril(jnp.ones((1, dt, dt), bool))
+    logits_v, _, _ = llama.decode_verify_step(
+        params, cfg, kc, vc, tokens[n:n + dt][None], draft_pos, tree_mask,
+        jnp.array([n], jnp.int32), bt, draft_slots)
+
+    # sequential decode golden
+    kc2, vc2 = llama.init_kv_cache(cfg, 8)
+    _, kc2, vc2 = llama.prefill_step(params, cfg, kc2, vc2, tokens[:n], pos, slots, 0)
+    seq_logits = []
+    for i in range(dt):
+        p_i = jnp.array([n + i], jnp.int32)
+        s_i = (bt[0, p_i // cfg.page_size] * cfg.page_size + p_i % cfg.page_size)
+        lg, kc2, vc2 = llama.decode_step(
+            params, cfg, kc2, vc2, tokens[n + i:n + i + 1], p_i,
+            jnp.array([n + i + 1], jnp.int32), bt, s_i)
+        seq_logits.append(np.asarray(lg)[0])
+
+    from .utils import calc_diff
+    for i in range(dt):
+        assert calc_diff(np.asarray(logits_v)[0, i], seq_logits[i]) < 2e-3
+
+    # and greedy verify accepts the whole chain when drafts == argmax
+    target = jnp.argmax(logits_v[0], -1)[None].astype(jnp.int32)
+    cands = jnp.concatenate([tokens[n:n + 1][None],
+                             target[:, :-1]], axis=1)
+    ridx = jnp.arange(dt, dtype=jnp.int32)[None]
+    ntok = jnp.array([[1, 2, -1]], jnp.int32)
+    nsib = jnp.full((1, dt), -1, jnp.int32)
+    # candidates[i] must equal target at the previous accepted node for accept:
+    # construct candidates = [root, argmax@0, argmax@1]
+    p_out, ai, an = spec.verify_tree_greedy(cands, ridx, ntok, nsib, target)
+    assert int(an[0]) == dt - 1  # all non-root drafts accepted
