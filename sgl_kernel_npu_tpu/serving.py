@@ -145,3 +145,106 @@ class LlamaEngine:
             if not self.step():
                 break
         return [self.reqs[r]["out"][:max_new_tokens] for r in rids]
+
+
+def speculative_generate(t_params, t_cfg: llama.LlamaConfig,
+                         d_params, d_cfg: llama.LlamaConfig,
+                         prompt: List[int], max_new_tokens: int,
+                         draft_len: int = 3, num_pages: int = 16):
+    """Greedy speculative decoding (EAGLE-style linear chain): a draft model
+    proposes `draft_len` tokens per round; the target verifies them in ONE
+    `decode_verify_step` and accepts the longest greedy-matching prefix.
+
+    Reference parity: build_tree_efficient/verify_tree_greedy are the
+    reference's spec-infer ops (csrc/pytorch_extensions.cpp build_tree,
+    cam_verify_tree_greedy); this is the engine loop that uses them. Greedy
+    spec decode is LOSSLESS: output is bitwise the target model's greedy
+    continuation (tests/test_serving.py asserts this vs plain decode).
+
+    Rejected drafts need no cache rollback: slots are position-mapped, so the
+    next write to those positions overwrites them.
+
+    Returns (tokens, accept_counts) — accept_counts[i] = accepted drafts in
+    round i (for acceptance-rate stats, the reference's MTP metric).
+    """
+    ps = t_cfg.page_size
+    assert d_cfg.page_size == ps
+    n = len(prompt)
+    pages = list(range(1, num_pages))
+    bt = jnp.array([pages], jnp.int32)
+
+    def slot(p):
+        return pages[p // ps] * ps + p % ps
+
+    def prefill(params, cfg, kv, toks, lo):
+        pos = jnp.arange(lo, lo + len(toks), dtype=jnp.int32)
+        slots = jnp.array([slot(p) for p in range(lo, lo + len(toks))], jnp.int32)
+        lg, kc, vc = llama.prefill_chunk_step(
+            params, cfg, kv[0], kv[1], jnp.array(toks, jnp.int32), pos, slots,
+            bt[0], jnp.array(lo, jnp.int32))
+        return lg, (kc, vc)
+
+    t_kv = llama.init_kv_cache(t_cfg, num_pages)
+    d_kv = llama.init_kv_cache(d_cfg, num_pages)
+    lg_t, t_kv = prefill(t_params, t_cfg, t_kv, prompt, 0)
+    _, d_kv = prefill(d_params, d_cfg, d_kv, prompt, 0)
+
+    out = [int(jnp.argmax(lg_t[-1]))]
+    accept_counts = []
+    t_len = n          # target-cache verified length
+    d_len = n          # draft-cache length
+
+    verify = jax.jit(lambda p, kc, vc, i, po, tm, sl, b_, sm:
+                     llama.decode_verify_step(p, t_cfg, kc, vc, i, po, tm,
+                                              sl, b_, sm))
+    d_step = jax.jit(lambda p, kv, i, po, sq, b_, sm: llama.decode_step(
+        p, d_cfg, kv[0], kv[1], i, po, sq, b_, sm))
+
+    while len(out) < max_new_tokens:
+        # --- draft a greedy chain from the draft model
+        chain = [out[-1]]
+        for j in range(draft_len - 1):
+            p = d_len
+            lg, kc, vc = d_step(
+                d_params, d_kv, jnp.array([chain[-1]], jnp.int32),
+                jnp.array([p], jnp.int32), jnp.array([p + 1], jnp.int32),
+                bt, jnp.array([slot(p)], jnp.int32))
+            d_kv = (kc, vc)
+            d_len += 1
+            chain.append(int(jnp.argmax(lg[0])))
+
+        # --- verify the whole chain in one target step
+        dt = len(chain)
+        pos = jnp.arange(t_len, t_len + dt, dtype=jnp.int32)[None]
+        slots = jnp.array([[slot(int(p)) for p in pos[0]]], jnp.int32)
+        tree_mask = jnp.tril(jnp.ones((1, dt, dt), bool))
+        lg, kc, vc = verify(t_params, t_kv[0], t_kv[1],
+                            jnp.array([chain], jnp.int32), pos, tree_mask,
+                            jnp.array([t_len], jnp.int32), bt, slots)
+        t_kv = (kc, vc)
+        target = np.asarray(jnp.argmax(lg[0], -1))   # [dt]
+
+        # accept longest prefix where draft token i+1 == target pred at i
+        acc = 0
+        while acc < dt - 1 and chain[acc + 1] == int(target[acc]):
+            acc += 1
+        accept_counts.append(acc)
+        new = [int(x) for x in chain[1:acc + 1]] + [int(target[acc])]
+        out.extend(new)
+        t_len += acc + 1
+
+        # resync the draft cache: it must hold the true sequence through
+        # position want-1 (everything except the last emitted token).
+        # Rejected-draft slots beyond `want` are overwritten next round.
+        want = n + len(out) - 1
+        if d_len > want:
+            d_len = want  # stale tail is overwritten on next write
+        while d_len < want:
+            p = d_len
+            _, kc, vc = d_step(
+                d_params, d_kv, jnp.array([out[-(want - d_len) - 1]], jnp.int32),
+                jnp.array([p], jnp.int32), jnp.array([p + 1], jnp.int32),
+                bt, jnp.array([slot(p)], jnp.int32))
+            d_kv = (kc, vc)
+            d_len += 1
+    return out[:max_new_tokens], accept_counts

@@ -69,3 +69,29 @@ def test_engine_prefix_cache_reuse(rng):
     fresh = LlamaEngine(cfg, params=params, num_pages=64, token_budget=64)
     assert fresh.generate([p2], max_new_tokens=4)[0] == o2
     assert fresh.generate([p1], max_new_tokens=4)[0] == o1
+
+
+def test_speculative_generate_lossless():
+    """Greedy spec decode == plain greedy, independent of draft quality
+    (draft model has DIFFERENT random weights), and accepts track reality."""
+    from sgl_kernel_npu_tpu.serving import speculative_generate
+
+    cfg = llama.tiny_config()
+    t_params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    d_params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    mnt = 10
+
+    spec_out, accepts = speculative_generate(
+        t_params, cfg, d_params, cfg, prompt, mnt, draft_len=3)
+
+    eng = LlamaEngine(cfg, params=t_params, decode_batch=1)
+    [plain] = eng.generate([prompt], max_new_tokens=mnt)
+    assert spec_out == plain
+    assert all(0 <= a <= 2 for a in accepts)
+
+    # self-speculation (draft == target) must accept every draft
+    self_out, self_acc = speculative_generate(
+        t_params, cfg, t_params, cfg, prompt, mnt, draft_len=3)
+    assert self_out == plain
+    assert all(a == 2 for a in self_acc)
