@@ -281,12 +281,25 @@ def prefill_step(params, cfg: LlamaConfig, k_cache, v_cache,
 def prefill_chunk_step(params, cfg: LlamaConfig, k_cache, v_cache,
                        input_ids, positions, slot_mapping, block_table,
                        prefix_len):
+    """Tuple-cache (bf16) wrapper around prefill_chunk_step_kv."""
+    logits, (kc, vc) = prefill_chunk_step_kv(
+        params, cfg, (k_cache, v_cache), input_ids, positions, slot_mapping,
+        block_table, prefix_len)
+    return logits, kc, vc
+
+
+def prefill_chunk_step_kv(params, cfg: LlamaConfig, kv_cache,
+                          input_ids, positions, slot_mapping, block_table,
+                          prefix_len):
     """Chunked prefill: process a [T]-token chunk of ONE sequence whose first
     `prefix_len` tokens are already in the paged cache.
 
     The chunk attends causally to itself and fully to the cached prefix
     (gathered via block_table [max_pages]). Writes the chunk into the cache.
-    Returns (logits [T, V], k_cache, v_cache).
+    kv_cache: (k, v) bf16 tuple or {"k","v","ks","vs"} int8 dict (cfg.int8_kv);
+    int8 prefill quantizes each token's K/V once per (token, head) — bitwise
+    the same cache contents the decode path would write.
+    Returns (logits [T, V], kv_cache).
     """
     t = input_ids.shape[0]
     hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -298,35 +311,50 @@ def prefill_chunk_step(params, cfg: LlamaConfig, k_cache, v_cache,
     x = params["embed"][input_ids]
     cs = params["cos_sin"][positions]
     cos, sin = cs[:, : d // 2], cs[:, d // 2:]
-    causal = jnp.tril(jnp.ones((t, t), bool))
 
     def layer(carry, inputs):
         x, = carry
-        lp, kc, vc = inputs
+        lp, kv_l = inputs
         h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
         qkv = _qmm(h1, lp["wqkv"])
         q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
         q = apply_rope(q.reshape(t, hq, d), cos[:, None], sin[:, None])
         k = apply_rope(k.reshape(t, hkv, d), cos[:, None], sin[:, None])
         v = v.reshape(t, hkv, d)
-        kc, vc = reshape_and_cache_gqa_page_major(k, v, kc, vc, slot_mapping)
-
-        # prefix KV gathered from the updated page-major cache (includes this
-        # chunk; prefix positions < prefix_len mask the overlap away)
-        kp = kc[block_table].transpose(1, 0, 2, 3).reshape(hkv, max_pages * ps, d)
-        vp = vc[block_table].transpose(1, 0, 2, 3).reshape(hkv, max_pages * ps, d)
+        if cfg.int8_kv:
+            kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
+                k, v, kv_l["k"], kv_l["v"], kv_l["ks"], kv_l["vs"], slot_mapping)
+            kv_l = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+            # dequantized prefix gather: scales are [P, Hkv, 1, ps]
+            kdq = kc[block_table].astype(jnp.float32) * \
+                ks[block_table].transpose(0, 1, 3, 2)
+            vdq = vc[block_table].astype(jnp.float32) * \
+                vs[block_table].transpose(0, 1, 3, 2)
+            kp = kdq.transpose(1, 0, 2, 3).reshape(hkv, max_pages * ps, d)
+            vp = vdq.transpose(1, 0, 2, 3).reshape(hkv, max_pages * ps, d)
+        else:
+            kc, vc = reshape_and_cache_gqa_page_major(
+                k, v, kv_l[0], kv_l[1], slot_mapping)
+            kv_l = (kc, vc)
+            # prefix KV gathered from the updated page-major cache (includes
+            # this chunk; prefix positions < prefix_len mask the overlap away)
+            kp = kc[block_table].transpose(1, 0, 2, 3).reshape(
+                hkv, max_pages * ps, d)
+            vp = vc[block_table].transpose(1, 0, 2, 3).reshape(
+                hkv, max_pages * ps, d)
         qh = q.reshape(t, hkv, g, d).astype(jnp.float32)
 
-        s_pre = jnp.einsum("thgd,hnd->hgtn", qh, kp.astype(jnp.float32)) * sm_scale
-        pre_valid = (jnp.arange(max_pages * ps) < prefix_len)[None, None, None, :]
-        s_pre = jnp.where(pre_valid, s_pre, -1e30)
-        s_self = jnp.einsum("thgd,nhd->hgtn", qh, k.astype(jnp.float32)) * sm_scale
-        s_self = jnp.where(causal[None, None], s_self, -1e30)
-
-        s = jnp.concatenate([s_pre, s_self], axis=-1)
+        # the gather above already contains this chunk (cache written first),
+        # and gathered row index == logical position, so ONE causal mask over
+        # the gathered buffer covers prefix + chunk. Attending through the
+        # cache (dequantized in int8 mode) makes prefill bitwise-consistent
+        # with the decode path's cache contents.
+        s = jnp.einsum("thgd,hnd->hgtn", qh, kp.astype(jnp.float32)) * sm_scale
+        allowed = (jnp.arange(max_pages * ps)[None, :]
+                   < prefix_len + 1 + jnp.arange(t)[:, None])
+        s = jnp.where(allowed[None, None], s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
-        n_pre = max_pages * ps
-        att = jnp.einsum("hgtn,hnd->thgd", p[..., :n_pre], vp.astype(jnp.float32))             + jnp.einsum("hgtn,nhd->thgd", p[..., n_pre:], v.astype(jnp.float32))
+        att = jnp.einsum("hgtn,hnd->thgd", p, vp.astype(jnp.float32))
         att = att.reshape(t, hq * d).astype(x.dtype)
         x = x + _qmm(att, lp["wo"])
 
@@ -336,14 +364,14 @@ def prefill_chunk_step(params, cfg: LlamaConfig, k_cache, v_cache,
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
         x = x + _qmm(act, lp["w2"])
-        return (x,), (kc, vc)
+        return (x,), kv_l
 
-    (x,), (k_cache, v_cache) = jax.lax.scan(
-        layer, (x,), (params["layers"], k_cache, v_cache)
+    (x,), kv_cache = jax.lax.scan(
+        layer, (x,), (params["layers"], kv_cache)
     )
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
-    return logits, k_cache, v_cache
+    return logits, kv_cache
 
 
 def decode_verify_step(params, cfg: LlamaConfig, k_cache, v_cache,

@@ -28,8 +28,6 @@ class LlamaEngine:
         self.cfg = cfg
         self.params = params or llama.init_params(cfg, jax.random.PRNGKey(seed))
         self.kv = llama.init_kv_cache(cfg, num_pages)
-        if not isinstance(self.kv, dict):
-            self.kv = self.kv  # tuple
         self.sched = make_scheduler(num_pages, cfg.page_size,
                                     token_budget=token_budget)
         self.decode_batch = decode_batch
@@ -44,12 +42,8 @@ class LlamaEngine:
                 p, kv, i, po, sm, bt, plen))
 
     def _prefill_impl(self, params, kv, ids, positions, slots, bt, prefix_len):
-        if isinstance(kv, dict):
-            raise NotImplementedError("int8-kv prefill lands with the int8 "
-                                      "prefill kernel")
-        logits, kc, vc = llama.prefill_chunk_step(
-            params, self.cfg, kv[0], kv[1], ids, positions, slots, bt, prefix_len)
-        return logits, (kc, vc)
+        return llama.prefill_chunk_step_kv(
+            params, self.cfg, kv, ids, positions, slots, bt, prefix_len)
 
     def add_request(self, tokens: List[int], max_new_tokens: int = 16) -> int:
         rid = self.sched.add_request(tokens, max_new_tokens)

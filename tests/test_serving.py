@@ -2,6 +2,7 @@
 determinism across batching patterns."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sgl_kernel_npu_tpu.models import llama
@@ -95,3 +96,44 @@ def test_speculative_generate_lossless():
         t_params, cfg, t_params, cfg, prompt, mnt, draft_len=3)
     assert self_out == plain
     assert all(a == 2 for a in self_acc)
+
+
+def test_int8_kv_prefill_matches_decode_path_cache():
+    """INT8-KV chunked prefill writes bitwise the same cache entries the
+    decode path would (same per-(token,head) quantization), and the engine
+    runs end-to-end in the bench's int8-kv config."""
+    import numpy as np
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    n = 9
+    rng = np.random.default_rng(5)
+    toks = list(rng.integers(0, cfg.vocab_size, n))
+    bt = np.zeros(8, np.int32)
+    bt[:3] = [1, 2, 3]
+
+    def slot(p):
+        return int(bt[p // cfg.page_size]) * cfg.page_size + p % cfg.page_size
+
+    kv_p = llama.init_kv_cache(cfg, 8)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    slots = jnp.array([slot(p) for p in range(n)], jnp.int32)
+    lg_p, kv_p = llama.prefill_chunk_step_kv(
+        params, cfg, kv_p, jnp.array(toks, jnp.int32), pos, slots,
+        jnp.array(bt), jnp.int32(0))
+
+    kv_d = llama.init_kv_cache(cfg, 8)
+    for i, tok in enumerate(toks):
+        lg_d, kv_d = llama.decode_step_kv(
+            params, cfg, kv_d, jnp.array([tok], jnp.int32),
+            jnp.array([i], jnp.int32), jnp.array([i + 1], jnp.int32),
+            jnp.array(bt)[None], jnp.array([slot(i)], jnp.int32))
+
+    assert np.array_equal(np.asarray(kv_p["k"]), np.asarray(kv_d["k"]))
+    assert np.array_equal(np.asarray(kv_p["v"]), np.asarray(kv_d["v"]))
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(lg_p)[-1], np.asarray(lg_d)[0]) < 2e-3
+
+    eng = LlamaEngine(cfg, params=params, decode_batch=2)
+    outs = eng.generate([toks, toks[:5]], max_new_tokens=4)
+    assert all(len(o) == 4 for o in outs)
+    assert outs[0][0] == int(jnp.argmax(lg_p[-1]))
