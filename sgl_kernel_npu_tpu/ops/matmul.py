@@ -219,6 +219,78 @@ def grouped_matmul_int8(x_q, w_q, x_scale, w_scale, group_list, out_dtype=jnp.bf
     return grouped_matmul_int8_ref(x_q, w_q, x_scale, w_scale, group_list, out_dtype)
 
 
+def _gmm_int8_kernel(eid_ref, x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref,
+                     *, k_tiles):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(kk == k_tiles - 1)
+    def _():
+        out = acc_ref[...].astype(jnp.float32) * xs_ref[...] \
+            * ws_ref[0].astype(jnp.float32)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
+def grouped_matmul_int8_pallas(x_q, w_q, x_scale, w_scale, expert_per_mtile,
+                               out_dtype=jnp.bfloat16,
+                               block_m=128, block_n=256, block_k=512):
+    """Megablox-style grouped GEMM: each `block_m` row tile belongs to exactly
+    ONE expert (group boundaries pre-aligned to block_m — see
+    parallel/fused_moe.py's aligned compaction), whose id is scalar-prefetched
+    so the weight DMA for tile i fetches only w_q[eid[i]].
+
+    Reference parity: the GroupedMatmul of aclnnFusedDeepMoe
+    (csrc/deepep/ops/.../fused_deep_moe.h:38-95) — there a cube-core GMM with
+    per-expert tiling; here one Pallas kernel whose m-tile -> expert map rides
+    the scalar-prefetch channel (the TPU analogue of its tiling descriptor).
+
+    x_q [M, K] int8 (M % block_m == 0), w_q [G, K, N] int8, x_scale [M, 1] f32
+    (0 for padding rows -> zero output), w_scale [G, N] f32,
+    expert_per_mtile [M // block_m] int32.
+    """
+    m, k = x_q.shape
+    g, _, n = w_q.shape
+    assert m % block_m == 0, "pad rows to the m-tile (aligned compaction)"
+    block_n, block_k = min(block_n, n), min(block_k, k)
+    k_tiles = cdiv(k, block_k)
+    grid = (m // block_m, cdiv(n, block_n), k_tiles)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk, eid: (i, kk)),
+            pl.BlockSpec((1, block_k, block_n),
+                         lambda i, j, kk, eid: (eid[i], kk, j)),
+            pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j, kk, eid: (eid[i], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk, eid: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+    )
+    return pl.pallas_call(
+        partial(_gmm_int8_kernel, k_tiles=k_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + g * k * n + m * n * 2, transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(expert_per_mtile, x_q, w_q, x_scale.astype(jnp.float32),
+      w_scale.reshape(g, 1, n))
+
+
 # --------------------------------------------------------- batch_matmul_transpose
 
 

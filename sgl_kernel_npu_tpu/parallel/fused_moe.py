@@ -26,8 +26,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.matmul import grouped_matmul_int8_ref
+from ..ops.matmul import grouped_matmul_int8_pallas, grouped_matmul_int8_ref
 from ..ops.quant import per_token_quant_int8
+from ..utils import use_pallas
 from .strategies.low_latency import LowLatencyDispatchResult
 
 
@@ -48,6 +49,38 @@ def _compact_slots(recv_counts, num_ranks, num_local_experts, max_tokens, cap):
     slot_ids = jnp.where(ok, order, total_slots)
     group_list = jnp.sum(recv_counts, axis=0)  # [El]
     return slot_ids, ok, group_list
+
+
+def _compact_slots_aligned(recv_counts, num_ranks, num_local_experts,
+                           max_tokens, cap, tile):
+    """Like _compact_slots, but each expert's rows start at a multiple of
+    `tile`, so every m-tile of the grouped Pallas GEMM is single-expert.
+
+    Returns (slot_ids [cap_pad], valid [cap_pad], expert_per_mtile
+    [cap_pad // tile]); padding rows carry zero scales -> zero output."""
+    el, r, maxt = num_local_experts, num_ranks, max_tokens
+    total_slots = el * r * maxt
+    slot_pos = jax.lax.broadcasted_iota(jnp.int32, (el, r, maxt), 2)
+    valid = slot_pos < recv_counts.T[:, :, None]
+    flat = jnp.arange(total_slots, dtype=jnp.int32).reshape(el, r, maxt)
+    prio = jnp.where(valid, flat, jnp.int32(2**30))
+    order = jnp.argsort(prio.reshape(-1), stable=True)
+    group_list = jnp.sum(recv_counts, axis=0)                  # [El]
+    tight_off = jnp.cumsum(group_list) - group_list
+    al_sizes = ((group_list + tile - 1) // tile) * tile
+    incl = jnp.cumsum(al_sizes)
+    al_off = incl - al_sizes
+    cap_pad = ((cap + tile - 1) // tile + el) * tile           # static
+    j = jnp.arange(cap_pad, dtype=jnp.int32)
+    e = jnp.clip(jnp.searchsorted(incl, j, side="right"), 0, el - 1)
+    idx = j - al_off[e]
+    ok = (idx < group_list[e]) & (tight_off[e] + idx < cap)
+    pos = jnp.clip(tight_off[e] + idx, 0, total_slots - 1)
+    slot_ids = jnp.where(ok, order[pos], total_slots)
+    eid = jnp.clip(jnp.searchsorted(
+        incl, jnp.arange(cap_pad // tile, dtype=jnp.int32) * tile,
+        side="right"), 0, el - 1)
+    return slot_ids, ok, eid
 
 
 def fused_deep_moe_shard(
@@ -77,17 +110,27 @@ def fused_deep_moe_shard(
     )
     cap = capacity_rows or r * maxt * min(k, el)
 
-    slot_ids, ok, group_list = _compact_slots(res.layout_range, r, el, maxt, cap)
+    pallas_gmm = use_pallas()
+    if pallas_gmm:
+        tile = 128
+        slot_ids, ok, eid = _compact_slots_aligned(
+            res.layout_range, r, el, maxt, cap, tile)
+    else:
+        slot_ids, ok, group_list = _compact_slots(
+            res.layout_range, r, el, maxt, cap)
     gat = jnp.clip(slot_ids, 0, el * r * maxt - 1)
     xq = res.recv_x.reshape(el * r * maxt, h)[gat]               # [cap, H] int8
     xs = res.recv_x_scales.reshape(el * r * maxt)[gat][:, None]  # [cap, 1]
     xq = jnp.where(ok[:, None], xq, 0)
     xs = jnp.where(ok[:, None], xs, 0.0)
 
-    # The compaction is expert-major but group_list boundaries must match the
+    # The compaction is expert-major but group boundaries must match the
     # gathered ordering: rows of expert e are contiguous. (slot prio is
     # expert-major by construction.)
-    up_gate = grouped_matmul_int8_ref(xq, w13_q, xs, w13_scale, group_list)  # [cap, 2F] bf16
+    if pallas_gmm:
+        up_gate = grouped_matmul_int8_pallas(xq, w13_q, xs, w13_scale, eid)
+    else:
+        up_gate = grouped_matmul_int8_ref(xq, w13_q, xs, w13_scale, group_list)
 
     # dequant-SwiGLU-quant epilogue (GmmDeqSwigluQuant, fused_deep_moe.h:59-95)
     x1 = up_gate.astype(jnp.float32)[:, :f]
@@ -95,7 +138,10 @@ def fused_deep_moe_shard(
     act = x1 * jax.nn.sigmoid(x1) * x2
     actq, act_scale = per_token_quant_int8(act)
 
-    y = grouped_matmul_int8_ref(actq, w2_q, act_scale, w2_scale, group_list)  # [cap, H] bf16
+    if pallas_gmm:
+        y = grouped_matmul_int8_pallas(actq, w2_q, act_scale, w2_scale, eid)
+    else:
+        y = grouped_matmul_int8_ref(actq, w2_q, act_scale, w2_scale, group_list)
 
     # Scatter back into the slotted layout for combine.
     slotted = jnp.zeros((el * r * maxt + 1, h), y.dtype).at[slot_ids].set(

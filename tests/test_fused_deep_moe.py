@@ -82,3 +82,31 @@ def test_zero_experts_compute_identity(rng):
     np.testing.assert_allclose(np.asarray(zr), golden, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ni), np.where(is_zero, 0, idx))
     np.testing.assert_allclose(np.asarray(ns), np.where(is_zero, 0, scales))
+
+
+def test_fused_deep_moe_pallas_gmm_matches_ref_path(monkeypatch, rng):
+    """SKT_IMPL=pallas routes the grouped GEMMs through the aligned Pallas
+    kernel (interpret off-TPU); outputs must match the ragged_dot path."""
+    mesh = Mesh(np.array(jax.devices()[:R]), ("ep",))
+    total = R * T
+    x = (rng.standard_normal((total, H)) * 0.3).astype(np.float32)
+    topk_idx = np.stack([rng.choice(E, K, replace=False)
+                         for _ in range(total)]).astype(np.int32)
+    topk_w = (rng.random((total, K)) * 0.5).astype(np.float32)
+    _, w13q, w13s = _quant_weights(rng, E, H, 2 * F)
+    _, w2q, w2s = _quant_weights(rng, E, F, H)
+
+    def run():
+        buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T)
+        xs = jax.device_put(jnp.array(x, jnp.bfloat16),
+                            jax.NamedSharding(mesh, P("ep")))
+        return np.asarray(buf.fused_deep_moe(
+            xs, jnp.array(topk_idx), jnp.array(topk_w),
+            jnp.array(w13q), jnp.array(w13s), jnp.array(w2q), jnp.array(w2s)),
+            np.float32)
+
+    monkeypatch.setenv("SKT_IMPL", "ref")
+    out_ref = run()
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    out_pal = run()
+    assert calc_diff(out_ref, out_pal) < 1e-5

@@ -122,3 +122,46 @@ def test_batch_matmul_transpose(rng):
     w = rng.standard_normal((b, k, n), dtype=np.float32)
     out = matmul.batch_matmul_transpose(jnp.array(x), jnp.array(w))
     assert_close(out, np.einsum("mbk,bkn->mbn", x, w), rtol=2e-2, atol=1e-2)
+
+
+def test_grouped_matmul_int8_pallas_matches_ref(rng):
+    """Megablox-style grouped GEMM (aligned m-tiles, scalar-prefetched expert
+    ids) vs the ragged_dot reference, with empty + ragged groups."""
+    import jax.numpy as jnp
+
+    g, k, n, tile = 4, 96, 64, 8
+    counts = np.array([5, 0, 11, 3], np.int32)
+    x = rng.standard_normal((int(counts.sum()), k), dtype=np.float32)
+    w = rng.standard_normal((g, k, n), dtype=np.float32)
+    xq, xs = quant.per_token_quant_int8(jnp.array(x))
+    wq = jnp.array(np.clip(np.round(w * 20), -127, 127), jnp.int8)
+    wsc = jnp.full((g, n), 1 / 20.0, jnp.float32)
+
+    ref = matmul.grouped_matmul_int8_ref(xq, wq, xs, wsc, jnp.array(counts))
+
+    # build the aligned (padded) layout by hand
+    al_sizes = (counts + tile - 1) // tile * tile
+    al_off = np.cumsum(al_sizes) - al_sizes
+    tight_off = np.cumsum(counts) - counts
+    m_pad = int(al_sizes.sum())
+    xq_p = np.zeros((m_pad, k), np.int8)
+    xs_p = np.zeros((m_pad, 1), np.float32)
+    for e in range(g):
+        sl = slice(al_off[e], al_off[e] + counts[e])
+        xq_p[sl] = np.asarray(xq)[tight_off[e]:tight_off[e] + counts[e]]
+        xs_p[sl] = np.asarray(xs)[tight_off[e]:tight_off[e] + counts[e]]
+    eid = np.searchsorted(np.cumsum(al_sizes), np.arange(m_pad // tile) * tile,
+                          side="right").astype(np.int32)
+
+    pal = matmul.grouped_matmul_int8_pallas(
+        jnp.array(xq_p), wq, jnp.array(xs_p), wsc, jnp.array(eid),
+        block_m=tile, block_n=32, block_k=32)
+    for e in range(g):
+        got = np.asarray(pal)[al_off[e]:al_off[e] + counts[e]]
+        want = np.asarray(ref)[tight_off[e]:tight_off[e] + counts[e]]
+        assert_close(got.astype(np.float32), want.astype(np.float32),
+                     rtol=2e-2, atol=2e-2)
+    # padding rows are exactly zero
+    for e in range(g):
+        pad = np.asarray(pal)[al_off[e] + counts[e]: al_off[e] + al_sizes[e]]
+        assert np.all(pad == 0)
