@@ -13,6 +13,7 @@ Usage: python bench.py [--smoke] [--batch N] [--ctx N]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -30,7 +31,15 @@ def main():
     ap.add_argument("--int8-kv", action="store_true", default=True,
                     help="INT8 KV cache (BASELINE config-2 includes it; default on)")
     ap.add_argument("--bf16-kv", dest="int8_kv", action="store_false")
+    ap.add_argument("--v4", action="store_true",
+                    help="fused scatter+attend decode kernel (SKT_DECODE_V4)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (the axon plugin overrides JAX_PLATFORMS)")
     args = ap.parse_args()
+    if args.v4:
+        os.environ["SKT_DECODE_V4"] = "1"
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from sgl_kernel_npu_tpu.models import llama
     from sgl_kernel_npu_tpu.utils import get_device_properties
@@ -38,7 +47,7 @@ def main():
     props = get_device_properties()
 
     if args.smoke:
-        cfg = llama.tiny_config()
+        cfg = llama.tiny_config(int8_kv=args.int8_kv)
         batch, ctx, iters = 4, 64, 3
     else:
         cfg = llama.LlamaConfig(int8_kv=args.int8_kv)  # 8B-class

@@ -29,13 +29,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention.decode import decode_gqa_ref
+from ..ops.attention.decode_v4 import decode_fused_v4_int8
 from ..ops.attention.decode_v3 import (
     decode_gqa_pallas_v3,
     decode_gqa_pallas_v3_int8,
     reshape_and_cache_gqa_page_major,
     reshape_and_cache_gqa_page_major_int8,
 )
-from ..utils import use_pallas
+from ..utils import env, use_pallas
 from ..ops.quant import per_token_quant_int8
 from ..ops.matmul import quant_matmul_int8_ref
 from ..ops.rope import apply_rope, make_cos_sin_cache
@@ -160,6 +161,17 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     cs = params["cos_sin"][positions]          # [B, D]
     cos, sin = cs[:, : d // 2], cs[:, d // 2 :]
 
+    def ffn_tail(x, att, lp, kv_all, li):
+        x = x + _qmm(att.reshape(b, -1), lp["wo"])
+        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2, lp["w13"])
+        f = cfg.intermediate_size
+        g32 = ug.astype(jnp.float32)
+        act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
+               * g32[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"])
+        return (x, kv_all, li + 1), ()
+
     def layer(carry, inputs):
         # the FULL stacked KV cache rides in the carry so XLA updates it in
         # place (scan xs->ys stacking would copy gigabytes per step)
@@ -177,6 +189,16 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
 
         def upd(full, one):
             return jax.lax.dynamic_update_slice_in_dim(full, one[None], li, 0)
+
+        if cfg.int8_kv and use_pallas() and env.decode_v4():
+            # fused scatter+attend over the ALIASED stacked cache: no per-layer
+            # slice copy, no XLA scatter (see ops/attention/decode_v4.py)
+            att, kc_a, vc_a, ks_a, vs_a = decode_fused_v4_int8(
+                q, k, v, kv_all["k"], kv_all["v"], kv_all["ks"], kv_all["vs"],
+                seq_lens, block_table, slot_mapping, li, sm_scale,
+                cfg.page_size)
+            kv_all = {"k": kc_a, "v": vc_a, "ks": ks_a, "vs": vs_a}
+            return ffn_tail(x, att, lp, kv_all, li)
 
         kv_l = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
             a, li, 0, keepdims=False), kv_all)
@@ -199,15 +221,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                                      vc.transpose(1, 0, 2, 3), seq_lens,
                                      block_table, sm_scale, cfg.page_size)
             kv_all = (upd(kv_all[0], kc), upd(kv_all[1], vc))
-        x = x + _qmm(att.reshape(b, -1), lp["wo"])
-
-        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
-        ug = _qmm(h2, lp["w13"])
-        f = cfg.intermediate_size
-        g32 = ug.astype(jnp.float32)
-        act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]).astype(x.dtype)
-        x = x + _qmm(act, lp["w2"])
-        return (x, kv_all, li + 1), ()
+        return ffn_tail(x, att, lp, kv_all, li)
 
     (x, kv_cache, _), _ = jax.lax.scan(
         layer, (x, kv_cache, jnp.int32(0)), params["layers"]

@@ -25,6 +25,8 @@ Flags (TPU names, reference analogue in parens):
                                  (ref: MOE_ENABLE_TOPK_NEG_ONE)
   SKT_BF16_DISPATCH              bool: skip INT8 comm quant
                                  (ref: SGLANG_DEEPEP_BF16_DISPATCH)
+  SKT_DECODE_V4                  bool: fused scatter+attend decode kernel
+                                 (aliased stacked cache; TPU-validated opt-in)
   SKT_LOG_LEVEL                  logging level for the package logger
 """
 
@@ -115,3 +117,8 @@ def enable_topk_neg_one() -> bool:
 
 def bf16_dispatch() -> bool:
     return env_bool("SKT_BF16_DISPATCH", False)
+
+
+def decode_v4() -> bool:
+    """Fused scatter+attend decode (ops/attention/decode_v4.py)."""
+    return env_bool("SKT_DECODE_V4", False)

@@ -245,3 +245,60 @@ def test_decode_gqa_v3_int8(rng):
         vcf[:, s // ps, s % ps] = vf[i]
     golden = _golden_gqa(q, kcf, vcf, sl, bt, 0.2, ps)
     assert_close(out, golden, rtol=5e-2, atol=5e-2)
+
+
+def test_decode_v4_fused_scatter_attend_matches_scatter_plus_v3(rng):
+    """v4 (aliased stacked-cache fused scatter+attend) == XLA scatter followed
+    by v3 attention, for both the attention output and all four cache planes."""
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops.attention import decode_v3, decode_v4
+
+    L, P, hkv, ps, d = 3, 10, 4, 16, 32
+    hq, b = 8, 3
+    li = 1
+    sm = 1.0 / d ** 0.5
+
+    kc = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
+    ks = jnp.asarray(rng.random((L, P, hkv, 1, ps)) * 0.01 + 1e-3, jnp.float32)
+    vs = jnp.asarray(rng.random((L, P, hkv, 1, ps)) * 0.01 + 1e-3, jnp.float32)
+
+    seq = jnp.array([1, 20, 33], jnp.int32)          # new, mid-page, cross-page
+    # pages are uniquely owned per sequence (engine invariant: the page being
+    # extended is never shared)
+    bt = jnp.array([[1, 2, 3], [4, 5, 0], [6, 7, 8]], jnp.int32)
+    pos = seq - 1
+    slots = bt[jnp.arange(b), pos // ps] * ps + pos % ps
+    q = jnp.asarray(rng.standard_normal((b, hq, d)) * 0.3, jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
+
+    # reference: scatter into layer li, then v3 attention on the slice
+    kc_l, vc_l, ks_l, vs_l = decode_v3.reshape_and_cache_gqa_page_major_int8(
+        kn, vn, kc[li], vc[li], ks[li], vs[li], slots)
+    att_ref = decode_v3.decode_gqa_pallas_v3_int8(
+        q, kc_l, vc_l, ks_l, vs_l, seq, bt, sm, ps)
+
+    att, kc2, vc2, ks2, vs2 = decode_v4.decode_fused_v4_int8(
+        q, kn, vn, kc, vc, ks, vs, seq, bt, slots, jnp.int32(li), sm, ps)
+
+    np.testing.assert_array_equal(np.asarray(kc2[li]), np.asarray(kc_l))
+    np.testing.assert_array_equal(np.asarray(vc2[li]), np.asarray(vc_l))
+    np.testing.assert_allclose(np.asarray(ks2[li]), np.asarray(ks_l), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vs2[li]), np.asarray(vs_l), rtol=1e-6)
+    # untouched layers intact
+    np.testing.assert_array_equal(np.asarray(kc2[0]), np.asarray(kc[0]))
+    np.testing.assert_array_equal(np.asarray(vs2[2]), np.asarray(vs[2]))
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(att, np.float32),
+                     np.asarray(att_ref, np.float32)) < 1e-4
+
+    # padded batch row (slot -1) writes nothing
+    slots_pad = slots.at[0].set(-1)
+    _, kc3, _, ks3, _ = decode_v4.decode_fused_v4_int8(
+        q, kn, vn, kc, vc, ks, vs, seq, bt, slots_pad, jnp.int32(li), sm, ps)
+    exp = kc[li].at[bt[1, 19 // ps], :, 19 % ps].set(
+        np.asarray(kc_l[bt[1, 19 // ps], :, 19 % ps]))
+    exp = exp.at[bt[2, 32 // ps], :, 32 % ps].set(
+        np.asarray(kc_l[bt[2, 32 // ps], :, 32 % ps]))
+    np.testing.assert_array_equal(np.asarray(kc3[li]), np.asarray(exp))

@@ -169,3 +169,30 @@ def test_decode_verify_step_linear_chain_matches_sequential(rng):
     # construct candidates = [root, argmax@0, argmax@1]
     p_out, ai, an = spec.verify_tree_greedy(cands, ridx, ntok, nsib, target)
     assert int(an[0]) == dt - 1  # all non-root drafts accepted
+
+
+def test_decode_v4_model_path_matches_v3(monkeypatch, rng):
+    """SKT_DECODE_V4 + pallas: the fused-kernel decode step produces the same
+    logits and cache as the scatter+v3 path."""
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    kv1 = llama.init_kv_cache(cfg, 8)
+    kv2 = jax.tree.map(lambda a: a, kv1)
+    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    b = 2
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    for step, lens in enumerate([(1, 1), (2, 2), (3, 3)]):
+        seq = jnp.array(lens, jnp.int32)
+        pos = seq - 1
+        slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
+            + pos % cfg.page_size
+        ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        monkeypatch.delenv("SKT_DECODE_V4", raising=False)
+        lg1, kv1 = llama.decode_step_kv(params, cfg, kv1, ids, pos, seq, bt, slots)
+        monkeypatch.setenv("SKT_DECODE_V4", "1")
+        lg2, kv2 = llama.decode_step_kv(params, cfg, kv2, ids, pos, seq, bt, slots)
+        from .utils import calc_diff
+        assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
+        assert np.array_equal(np.asarray(kv1["k"]), np.asarray(kv2["k"]))
+        assert np.array_equal(np.asarray(kv1["v"]), np.asarray(kv2["v"]))
