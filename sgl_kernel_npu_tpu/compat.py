@@ -112,6 +112,8 @@ sgl_kernel = SimpleNamespace(
 deep_ep = SimpleNamespace(
     Buffer=parallel.Buffer,
     Config=parallel.Config,
+    EventOverlap=parallel.EventOverlap,
+    FuseMode=parallel.FuseMode,
     get_dispatch_layout=parallel.get_dispatch_layout,
     normal_strategies=parallel.normal_strategy_names,
     low_latency_strategies=parallel.low_latency_strategy_names,

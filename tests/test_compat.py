@@ -22,3 +22,14 @@ def test_surface_counts():
     assert len(vars(compat.npu)) >= 25
     assert len(vars(compat.attentions)) == 5
     assert len(vars(compat.sgl_kernel)) >= 35
+
+
+def test_event_overlap_and_fuse_mode():
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.compat import deep_ep
+
+    assert int(deep_ep.FuseMode.FUSED_DEEP_MOE) == 1
+    x = jnp.ones((4,))
+    with deep_ep.EventOverlap(extra_tensors=[x]) as ev:
+        assert ev.extra_tensors[0] is x
+    ev.current_stream_wait()
