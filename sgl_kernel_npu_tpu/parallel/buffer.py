@@ -135,11 +135,20 @@ class Buffer:
     # ------------------------------------------------------------- normal
 
     def dispatch(self, x, topk_idx, topk_weights, quant_mode: str = "bf16",
-                 capacity_factor: float = 2.0, config: Optional[Config] = None):
+                 capacity_factor: float = 2.0, config: Optional[Config] = None,
+                 dispatch_wait_recv_cost_stats=None):
         """Normal-mode dispatch. Inputs sharded over the EP axis on dim 0.
 
         Returns per-rank-sharded (recv_x, recv_x_scales, recv_topk_idx,
-        recv_topk_weights, recv_count, recv_tokens_per_expert, handle).
+        recv_topk_weights, recv_count, recv_tokens_per_expert, handle)
+        [+ updated stats when `dispatch_wait_recv_cost_stats` is given].
+
+        `dispatch_wait_recv_cost_stats` (ref: deep_ep.cpp:246-252 — a per-peer
+        cost tensor the kernel accumulates into): pass an [R, R] int32 array;
+        returns it with the per-(dst, src) received-token counts accumulated.
+        XLA exposes no in-graph cycle counter, so the TPU contract records
+        traffic volume (the load-balance signal); wall-time per collective
+        comes from `jax.profiler` traces instead.
         """
         if env.bf16_dispatch():
             quant_mode = "bf16"
@@ -179,11 +188,22 @@ class Buffer:
             sbuf=t * min(k, self.num_ranks),
             rbuf=recv_x.shape[0] // self.num_ranks,
         )
-        return (recv_x, (scales if quant_mode in ("int8", "fp8") else None), recv_idx,
-                recv_w, recv_count, per_expert, handle)
+        out = (recv_x, (scales if quant_mode in ("int8", "fp8") else None),
+               recv_idx, recv_w, recv_count, per_expert, handle)
+        if dispatch_wait_recv_cost_stats is not None:
+            stats = dispatch_wait_recv_cost_stats + r_sizes.reshape(
+                self.num_ranks, self.num_ranks).astype(
+                    dispatch_wait_recv_cost_stats.dtype)
+            out = out + (stats,)
+        return out
 
-    def combine(self, x, handle, topk_weights, config: Optional[Config] = None):
-        """Normal-mode combine (reverse of dispatch). Ref: Buffer.combine."""
+    def combine(self, x, handle, topk_weights, config: Optional[Config] = None,
+                combine_send_cost_stats=None):
+        """Normal-mode combine (reverse of dispatch). Ref: Buffer.combine.
+
+        `combine_send_cost_stats` (ref: deep_ep.cpp:546-552): pass an [R, R]
+        int32 array; returns it with per-(src, dst) sent-token counts
+        accumulated (combine sends back along the reversed dispatch routes)."""
         config = config or Config.get_combine_config(self.num_ranks)
         strat = self._normal
         hd = handle
@@ -197,12 +217,18 @@ class Buffer:
             )
             return strat.combine(x, local, w, axis_name=self.axis_name, config=config)
 
-        return self._smap(
+        out = self._smap(
             fn,
             in_specs=tuple([self._ep()] * 9),
             out_specs=(self._ep(), self._ep()),
         )(x, topk_weights, hd.send_slot_token, hd.send_valid, hd.send_counts,
           hd.input_offsets, hd.output_offsets, hd.recv_sizes, hd.recv_offsets)
+        if combine_send_cost_stats is not None:
+            stats = combine_send_cost_stats + hd.recv_sizes.reshape(
+                self.num_ranks, self.num_ranks).astype(
+                    combine_send_cost_stats.dtype)
+            return out + (stats,)
+        return out
 
     # --------------------------------------------------------- low latency
 

@@ -193,3 +193,32 @@ def test_low_latency_strategies_agree(rng):
     np.testing.assert_array_equal(a[2], b[2])
     # padded slots may differ (zeros vs zeros) — both zero-init, so exact:
     np.testing.assert_allclose(a[0], b[0], rtol=1e-6, atol=1e-6)
+
+
+def test_cost_stats_accumulate_traffic(rng):
+    """dispatch_wait_recv_cost_stats / combine_send_cost_stats accumulate
+    per-(rank, peer) token traffic (ref deep_ep.cpp:246-252,546-552; TPU
+    contract records counts — see Buffer.dispatch docstring)."""
+    mesh = make_mesh()
+    buf = Buffer(mesh, E, normal_strategy="default",
+                 low_latency_strategy="default")
+    total = R * T
+    x = rng.standard_normal((total, H), dtype=np.float32)
+    topk_idx, topk_weights = random_routing(rng, total)
+    xs = jax.device_put(jnp.array(x), jax.NamedSharding(mesh, P("ep")))
+
+    stats0 = jnp.zeros((R, R), jnp.int32)
+    *out, stats = buf.dispatch(xs, jnp.array(topk_idx), jnp.array(topk_weights),
+                               capacity_factor=float(R),
+                               dispatch_wait_recv_cost_stats=stats0)
+    handle = out[-1]
+    s = np.asarray(stats)
+    # row r = tokens rank r received, per src; totals match recv_count
+    np.testing.assert_array_equal(s.sum(1), np.asarray(out[4]).reshape(-1))
+    # global traffic: one copy per (token, dst rank) — layout.py:25-27
+    _, _, in_rank = get_dispatch_layout(jnp.array(topk_idx), E, R)
+    assert s.sum() == int(np.asarray(in_rank).sum())
+
+    *_, stats2 = buf.combine(out[0], handle, out[3],
+                             combine_send_cost_stats=jnp.array(s))
+    np.testing.assert_array_equal(np.asarray(stats2), 2 * s)
