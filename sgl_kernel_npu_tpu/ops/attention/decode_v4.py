@@ -257,3 +257,177 @@ def decode_fused_v4_int8(q, k_new, v_new, k_cache, v_cache, k_scales, v_scales,
       slot_mapping.astype(jnp.int32), jnp.asarray(layer_idx, jnp.int32)[None],
       q4, k_new, v_new, k_cache, v_cache, k_scales, v_scales)
     return att.reshape(b, hq, dv), kc, vc, ks, vs
+
+
+def _kernel_v4_bf16(seq_lens_ref, block_table_ref, slot_ref, li_ref,
+                    q_ref, kn_ref, vn_ref, k_hbm, v_hbm,
+                    out_ref, ko_hbm, vo_hbm,
+                    k_buf, v_buf, acc_ref, m_ref, l_ref, wk_ref, wv_ref,
+                    *, page_size, sm_scale, hkv, g):
+    b = pl.program_id(0)
+    li = li_ref[0]
+    seq_len = seq_lens_ref[b]
+    slot = slot_ref[b]
+    slot_c = jnp.maximum(slot, 0)
+    page_w = slot_c // page_size
+    off_w = jax.lax.rem(slot_c, page_size)
+    num_pages = pl.cdiv(seq_len, page_size)
+    pos_new = seq_len - 1
+
+    kn = kn_ref[0].astype(k_hbm.dtype)                        # [Hkv, D]
+    vn = vn_ref[0].astype(v_hbm.dtype)
+    wk_ref[...] = kn[:, None, :]
+    wv_ref[...] = vn[:, None, :]
+    kdq = kn.astype(jnp.float32)                              # what readers see
+    vdq = vn.astype(jnp.float32)
+
+    def rd(buf, hbm, slot_, page_idx, sem):
+        page = block_table_ref[b, page_idx]
+        return pltpu.make_async_copy(hbm.at[li, page], buf.at[slot_], sem)
+
+    def body(p, _, sems):
+        sl = jax.lax.rem(p, NBUF)
+        nxt = jax.lax.rem(p + 1, NBUF)
+
+        @pl.when(p + 1 < num_pages)
+        def _start():
+            rd(k_buf, k_hbm, nxt, p + 1, sems.at[nxt, 0]).start()
+            rd(v_buf, v_hbm, nxt, p + 1, sems.at[nxt, 1]).start()
+
+        rd(k_buf, k_hbm, sl, p, sems.at[sl, 0]).wait()
+        rd(v_buf, v_hbm, sl, p, sems.at[sl, 1]).wait()
+
+        col = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (g, page_size), 1)
+        valid = (col < seq_len) & (col != pos_new)
+        vcol = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (page_size, 1), 0)
+        vkeep = vcol != pos_new
+
+        for h in range(hkv):
+            q = q_ref[0, h].astype(jnp.float32)
+            k = k_buf[sl, h].astype(jnp.float32)
+            v = jnp.where(vkeep, v_buf[sl, h].astype(jnp.float32), 0.0)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            s = jnp.where(valid, s, _NEG_INF)
+            mh_prev = m_ref[h * g:(h + 1) * g, :]
+            mh = jnp.maximum(mh_prev, jnp.max(s, -1, keepdims=True))
+            alpha = jnp.exp(mh_prev - mh)
+            pexp = jnp.exp(s - mh)
+            l_ref[h * g:(h + 1) * g, :] = (
+                l_ref[h * g:(h + 1) * g, :] * alpha
+                + jnp.sum(pexp, -1, keepdims=True))
+            acc_ref[h * g:(h + 1) * g, :] = (
+                acc_ref[h * g:(h + 1) * g, :] * alpha
+                + jax.lax.dot_general(pexp, v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+            m_ref[h * g:(h + 1) * g, :] = mh
+        return 0
+
+    def run(sems, wsems):
+        writes = [
+            pltpu.make_async_copy(
+                wk_ref, ko_hbm.at[li, page_w, :, pl.ds(off_w, 1), :],
+                wsems.at[0]),
+            pltpu.make_async_copy(
+                wv_ref, vo_hbm.at[li, page_w, :, pl.ds(off_w, 1), :],
+                wsems.at[1]),
+        ]
+
+        @pl.when(slot >= 0)
+        def _write():
+            for w in writes:
+                w.start()
+
+        rd(k_buf, k_hbm, 0, 0, sems.at[0, 0]).start()
+        rd(v_buf, v_hbm, 0, 0, sems.at[0, 1]).start()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        jax.lax.fori_loop(0, num_pages, lambda p, c: body(p, c, sems), 0)
+
+        for h in range(hkv):
+            q = q_ref[0, h].astype(jnp.float32)
+            s_new = jnp.sum(q * kdq[h][None, :], -1,
+                            keepdims=True) * sm_scale
+            mh_prev = m_ref[h * g:(h + 1) * g, :]
+            mh = jnp.maximum(mh_prev, s_new)
+            alpha = jnp.exp(mh_prev - mh)
+            pexp = jnp.exp(s_new - mh)
+            l_ref[h * g:(h + 1) * g, :] = (
+                l_ref[h * g:(h + 1) * g, :] * alpha + pexp)
+            acc_ref[h * g:(h + 1) * g, :] = (
+                acc_ref[h * g:(h + 1) * g, :] * alpha
+                + pexp * vdq[h][None, :])
+
+        out_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-37)
+                      ).astype(out_ref.dtype)
+
+        @pl.when(slot >= 0)
+        def _drain():
+            for w in writes:
+                w.wait()
+
+    pl.run_scoped(run, pltpu.SemaphoreType.DMA((NBUF, 2)),
+                  pltpu.SemaphoreType.DMA((2,)))
+
+
+def decode_fused_v4(q, k_new, v_new, k_cache, v_cache, seq_lens, block_table,
+                    slot_mapping, layer_idx, sm_scale, page_size):
+    """bf16 fused scatter+attend over aliased stacked caches [L, P, Hkv, ps, D].
+
+    Same contract as decode_fused_v4_int8 without the scale planes. Returns
+    (att [B, Hq, D], k_cache, v_cache)."""
+    b, hq, dk = q.shape
+    _, _, hkv, ps, _ = k_cache.shape
+    dv = v_cache.shape[-1]
+    assert ps == page_size
+    g = hq // hkv
+    q4 = q.reshape(b, hkv, g, dk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, g, dk), lambda bb, *_: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, dk), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec((1, hkv, dv), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hkv * g, dv), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, hkv, page_size, dk), k_cache.dtype),
+            pltpu.VMEM((NBUF, hkv, page_size, dv), v_cache.dtype),
+            pltpu.VMEM((hkv * g, dv), jnp.float32),
+            pltpu.VMEM((hkv * g, 1), jnp.float32),
+            pltpu.VMEM((hkv * g, 1), jnp.float32),
+            pltpu.VMEM((hkv, 1, dk), k_cache.dtype),
+            pltpu.VMEM((hkv, 1, dv), v_cache.dtype),
+        ],
+    )
+    att, kc, vc = pl.pallas_call(
+        partial(_kernel_v4_bf16, page_size=page_size, sm_scale=sm_scale,
+                hkv=hkv, g=g),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv * g, dv), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # flat operands: 4 scalars, q4=4, kn=5, vn=6, kc=7, vc=8
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret_mode(),
+    )(seq_lens.astype(jnp.int32), block_table.astype(jnp.int32),
+      slot_mapping.astype(jnp.int32), jnp.asarray(layer_idx, jnp.int32)[None],
+      q4, k_new, v_new, k_cache, v_cache)
+    return att.reshape(b, hq, dv), kc, vc

@@ -302,3 +302,39 @@ def test_decode_v4_fused_scatter_attend_matches_scatter_plus_v3(rng):
     exp = exp.at[bt[2, 32 // ps], :, 32 % ps].set(
         np.asarray(kc_l[bt[2, 32 // ps], :, 32 % ps]))
     np.testing.assert_array_equal(np.asarray(kc3[li]), np.asarray(exp))
+
+
+def test_decode_v4_bf16_matches_scatter_plus_v3(rng):
+    """bf16 v4 variant vs XLA scatter + v3."""
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops.attention import decode_v3, decode_v4
+
+    L, P, hkv, ps, d = 2, 10, 4, 16, 32
+    hq, b = 8, 3
+    li = 0
+    sm = 1.0 / d ** 0.5
+    kc = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)) * 0.3, jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)) * 0.3, jnp.bfloat16)
+    seq = jnp.array([1, 20, 32], jnp.int32)
+    bt = jnp.array([[1, 2, 3], [4, 5, 0], [6, 7, 8]], jnp.int32)
+    pos = seq - 1
+    slots = bt[jnp.arange(b), pos // ps] * ps + pos % ps
+    q = jnp.asarray(rng.standard_normal((b, hq, d)) * 0.3, jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
+
+    kc_l, vc_l = decode_v3.reshape_and_cache_gqa_page_major(
+        kn, vn, kc[li], vc[li], slots)
+    att_ref = decode_v3.decode_gqa_pallas_v3(q, kc_l, vc_l, seq, bt, sm, ps)
+
+    att, kc2, vc2 = decode_v4.decode_fused_v4(
+        q, kn, vn, kc, vc, seq, bt, slots, jnp.int32(li), sm, ps)
+    np.testing.assert_array_equal(
+        np.asarray(kc2[li], np.float32), np.asarray(kc_l, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(vc2[li], np.float32), np.asarray(vc_l, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(kc2[1], np.float32), np.asarray(kc[1], np.float32))
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(att, np.float32),
+                     np.asarray(att_ref, np.float32)) < 1e-3
