@@ -157,8 +157,13 @@ def decode_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
     sin = params["sin"][positions]
 
     def layer(carry, inputs):
-        (x,) = carry
-        lp, ckv_c, kr_c = inputs
+        # stacked caches ride in the carry so XLA updates them in place
+        # (xs->ys stacking re-materializes the full cache every layer; the
+        # same change on the GQA model was worth ~10% end-to-end)
+        x, ckv_all, kr_all, li = carry
+        lp = inputs
+        ckv_c = jax.lax.dynamic_index_in_dim(ckv_all, li, 0, keepdims=False)
+        kr_c = jax.lax.dynamic_index_in_dim(kr_all, li, 0, keepdims=False)
 
         out = mp.mla_preprocess(
             x, lp["gamma0"], lp["beta0"],
@@ -184,10 +189,14 @@ def decode_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
         f = cfg.intermediate_size
         act = (ug[:, :f] * jax.nn.sigmoid(ug[:, :f]) * ug[:, f:]).astype(x.dtype)
         x = x + _qmm(act, lp["w2"])
-        return (x,), (out.kv_cache, out.krope_cache)
+        ckv_all = jax.lax.dynamic_update_slice_in_dim(
+            ckv_all, out.kv_cache[None], li, 0)
+        kr_all = jax.lax.dynamic_update_slice_in_dim(
+            kr_all, out.krope_cache[None], li, 0)
+        return (x, ckv_all, kr_all, li + 1), ()
 
-    (x,), (ckv_cache, krope_cache) = jax.lax.scan(
-        layer, (x,), (params["layers"], ckv_cache, krope_cache))
+    (x, ckv_cache, krope_cache, _), _ = jax.lax.scan(
+        layer, (x, ckv_cache, krope_cache, jnp.int32(0)), params["layers"])
 
     x = _rms(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
