@@ -144,32 +144,43 @@ def _qmm(x, w):
 
 
 def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
-                   input_ids, positions, seq_lens, block_table, slot_mapping):
+                   input_ids, positions, seq_lens, block_table, slot_mapping,
+                   tp_axis=None):
     """One continuous-batching decode step over a KV pytree.
 
     kv_cache: (k_cache, v_cache) tuple (bf16 mode) or
     {"k","v","ks","vs"} dict (cfg.int8_kv). Leaves lead with the layer dim.
     input_ids/positions/slot_mapping: [B]; seq_lens: [B] (length INCLUDING the
     new token); block_table: [B, max_pages].
+
+    tp_axis: inside a shard_map, the tensor-parallel mesh axis. `cfg` and
+    `params` must then be PER-SHARD (heads split column-parallel in wqkv,
+    row-parallel in wo; intermediate split in w13/w2 — see shard_params_tp);
+    the two row-parallel matmuls psum over the axis (Megatron layout: the
+    reference plumbs groupTp but pins tpWorldSize=1, deep_ep.cpp:189-190 —
+    here TP is first-class).
     Returns (logits [B, V], kv_cache).
     """
     b = input_ids.shape[0]
     hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     sm_scale = 1.0 / (d ** 0.5)
 
+    def _reduce(y):
+        return jax.lax.psum(y, tp_axis) if tp_axis is not None else y
+
     x = params["embed"][input_ids]
     cs = params["cos_sin"][positions]          # [B, D]
     cos, sin = cs[:, : d // 2], cs[:, d // 2 :]
 
     def ffn_tail(x, att, lp, kv_all, li):
-        x = x + _qmm(att.reshape(b, -1), lp["wo"])
+        x = x + _reduce(_qmm(att.reshape(b, -1), lp["wo"]))
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
         ug = _qmm(h2, lp["w13"])
         f = cfg.intermediate_size
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
                * g32[:, f:]).astype(x.dtype)
-        x = x + _qmm(act, lp["w2"])
+        x = x + _reduce(_qmm(act, lp["w2"]))
         return (x, kv_all, li + 1), ()
 
     def layer(carry, inputs):
@@ -467,3 +478,99 @@ def decode_verify_step(params, cfg: LlamaConfig, k_cache, v_cache,
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x.reshape(b * dt, -1), params["lm_head"]).astype(jnp.float32)
     return logits.reshape(b, dt, -1), k_cache, v_cache
+
+
+def shard_cfg_tp(cfg: LlamaConfig, tp: int) -> LlamaConfig:
+    """Per-shard config for tensor parallelism (heads + intermediate split)."""
+    from dataclasses import replace
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0
+    assert cfg.intermediate_size % tp == 0
+    return replace(cfg, num_heads=cfg.num_heads // tp,
+                   num_kv_heads=cfg.num_kv_heads // tp,
+                   intermediate_size=cfg.intermediate_size // tp)
+
+
+def shard_params_tp(params, cfg: LlamaConfig, tp: int):
+    """Stack a [tp, ...] leading axis onto the param pytree (Megatron layout:
+    wqkv/w13 column-parallel, wo/w2 row-parallel, everything else replicated).
+    Feed through shard_map with P("tp") on the stacked leaves."""
+    import numpy as np
+
+    qs_s = cfg.q_size // tp
+    kvs_s = cfg.kv_size // tp
+    f = cfg.intermediate_size
+    f_s = f // tp
+    lay = params["layers"]
+
+    def col_slices(a, starts_sizes):
+        # a [..., cols]; gather per-shard column blocks and stack on axis 0
+        out = []
+        for s in range(tp):
+            blocks = [a[..., st + s * sz: st + (s + 1) * sz]
+                      for st, sz in starts_sizes]
+            out.append(jnp.concatenate(blocks, axis=-1))
+        return jnp.stack(out)
+
+    qkv_blocks = [(0, qs_s), (cfg.q_size, kvs_s), (cfg.q_size + cfg.kv_size, kvs_s)]
+    w13_blocks = [(0, f_s), (f, f_s)]
+    layers = {
+        "wqkv": {"q": col_slices(lay["wqkv"]["q"], qkv_blocks),
+                 "scale": col_slices(lay["wqkv"]["scale"], qkv_blocks)},
+        "w13": {"q": col_slices(lay["w13"]["q"], w13_blocks),
+                "scale": col_slices(lay["w13"]["scale"], w13_blocks)},
+        # row-parallel: split input rows, replicate the (summed) output scale
+        "wo": {"q": jnp.stack([lay["wo"]["q"][:, s * qs_s:(s + 1) * qs_s]
+                               for s in range(tp)]),
+               "scale": jnp.broadcast_to(lay["wo"]["scale"],
+                                         (tp,) + lay["wo"]["scale"].shape)},
+        "w2": {"q": jnp.stack([lay["w2"]["q"][:, s * f_s:(s + 1) * f_s]
+                               for s in range(tp)]),
+               "scale": jnp.broadcast_to(lay["w2"]["scale"],
+                                         (tp,) + lay["w2"]["scale"].shape)},
+        "input_norm": jnp.broadcast_to(lay["input_norm"],
+                                       (tp,) + lay["input_norm"].shape),
+        "post_norm": jnp.broadcast_to(lay["post_norm"],
+                                      (tp,) + lay["post_norm"].shape),
+    }
+    rep = lambda a: jnp.broadcast_to(a, (tp,) + a.shape)
+    return {
+        "embed": rep(params["embed"]),
+        "final_norm": rep(params["final_norm"]),
+        "lm_head": {"q": rep(params["lm_head"]["q"]),
+                    "scale": rep(params["lm_head"]["scale"])},
+        "cos_sin": rep(params["cos_sin"]),
+        "layers": layers,
+    }
+
+
+def decode_step_tp(params_tp, cfg: LlamaConfig, kv_tp, input_ids, positions,
+                   seq_lens, block_table, slot_mapping, mesh, axis="tp"):
+    """Tensor-parallel decode step over `mesh[axis]`.
+
+    params_tp from shard_params_tp; kv_tp a [tp, ...]-stacked KV pytree of
+    per-shard caches (init_kv_cache(shard_cfg_tp(cfg, tp), ...) stacked).
+    Logits are replicated; the KV pytree stays sharded.
+    """
+    from functools import partial as _partial
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    cfg_s = shard_cfg_tp(cfg, mesh.shape[axis])
+    tp_spec = jax.tree.map(lambda _: P(axis), params_tp)
+    kv_spec = jax.tree.map(lambda _: P(axis), kv_tp)
+
+    def body(p, kv, ids, pos, sl, bt, sm):
+        p = jax.tree.map(lambda a: a[0], p)
+        kv = jax.tree.map(lambda a: a[0], kv)
+        logits, kv = decode_step_kv(p, cfg_s, kv, ids, pos, sl, bt, sm,
+                                    tp_axis=axis)
+        return logits, jax.tree.map(lambda a: a[None], kv)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(tp_spec, kv_spec, P(), P(), P(), P(), P()),
+        out_specs=(P(), kv_spec),
+        check_rep=False,
+    )
+    return fn(params_tp, kv_tp, input_ids, positions, seq_lens, block_table,
+              slot_mapping)

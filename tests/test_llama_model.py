@@ -196,3 +196,32 @@ def test_decode_v4_model_path_matches_v3(monkeypatch, rng):
         assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
         assert np.array_equal(np.asarray(kv1["k"]), np.asarray(kv2["k"]))
         assert np.array_equal(np.asarray(kv1["v"]), np.asarray(kv2["v"]))
+
+
+def test_decode_step_tp_matches_single_device(rng):
+    """TP=4 decode over the CPU mesh == unsharded decode (within the
+    row-parallel per-shard activation-quant noise)."""
+    from jax.sharding import Mesh
+
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(4))
+    tp = 4
+    mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
+    params_tp = llama.shard_params_tp(params, cfg, tp)
+    cfg_s = llama.shard_cfg_tp(cfg, tp)
+    kv_tp = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[llama.init_kv_cache(cfg_s, 8) for _ in range(tp)])
+    kv = llama.init_kv_cache(cfg, 8)
+    bt = jnp.array([[1, 2, 3]], jnp.int32)
+
+    from .utils import calc_diff
+    for n in (1, 2, 3):
+        seq = jnp.array([n], jnp.int32)
+        pos = seq - 1
+        slots = bt[0, pos // cfg.page_size] * cfg.page_size + pos % cfg.page_size
+        ids = jnp.array([int(rng.integers(0, cfg.vocab_size))], jnp.int32)
+        lg_tp, kv_tp = llama.decode_step_tp(
+            params_tp, cfg, kv_tp, ids, pos, seq, bt, slots, mesh)
+        lg, kv = llama.decode_step_kv(params, cfg, kv, ids, pos, seq, bt, slots)
+        assert calc_diff(np.asarray(lg_tp), np.asarray(lg)) < 5e-3, n
