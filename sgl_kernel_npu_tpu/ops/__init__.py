@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     qkv_fusion,
     quant,
     rope,
+    sampling,
     speculative,
 )
 from .attention import decode_gqa, decode_mla  # noqa: F401

@@ -24,8 +24,11 @@ from .runtime import make_scheduler
 
 class LlamaEngine:
     def __init__(self, cfg: llama.LlamaConfig, params=None, num_pages: int = 256,
-                 decode_batch: int = 8, token_budget: int = 256, seed: int = 0):
+                 decode_batch: int = 8, token_budget: int = 256, seed: int = 0,
+                 temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0):
         self.cfg = cfg
+        self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
+        self._sample_key = jax.random.PRNGKey(seed ^ 0x5EED)
         self.params = params or llama.init_params(cfg, jax.random.PRNGKey(seed))
         self.kv = llama.init_kv_cache(cfg, num_pages)
         self.sched = make_scheduler(num_pages, cfg.page_size,
@@ -63,6 +66,16 @@ class LlamaEngine:
             self.sched.commit_progress(rid, "prefill", usable)
         return rid
 
+    def _pick(self, logits):
+        """Next-token choice: greedy by default; sampling (ops.sampling) when
+        temperature > 0."""
+        if self.temperature == 0.0:
+            return jnp.argmax(logits, -1)
+        from .ops import sampling
+        self._sample_key, sub = jax.random.split(self._sample_key)
+        return sampling.sample(logits, sub, temperature=self.temperature,
+                               top_k=self.top_k, top_p=self.top_p)
+
     def _slot(self, r, pos):
         return r["pages"][pos // self.cfg.page_size] * self.cfg.page_size \
             + pos % self.cfg.page_size
@@ -89,7 +102,7 @@ class LlamaEngine:
             self.sched.commit_progress(e["req_id"], "prefill", n)
             r["len"] = lo + n
             if r["len"] == len(r["tokens"]):
-                r["out"].append(int(jnp.argmax(logits[-1])))
+                r["out"].append(int(self._pick(logits[-1][None])[0]))
                 # publish this prompt's full pages into the radix cache
                 full = (len(r["tokens"]) // self.cfg.page_size)
                 if full:
@@ -118,7 +131,7 @@ class LlamaEngine:
             logits, self.kv = self._decode(
                 self.params, self.kv, jnp.array(ids), jnp.array(pos),
                 jnp.array(seq), jnp.array(bt), jnp.array(slots))
-            nxt = np.asarray(jnp.argmax(logits, -1))
+            nxt = np.asarray(self._pick(logits))
             for i, e in enumerate(dec):
                 r = self.reqs[e["req_id"]]
                 r["out"].append(int(nxt[i]))

@@ -47,3 +47,49 @@ def test_make_cos_sin_cache_identity_at_zero():
     cs = np.asarray(rope.make_cos_sin_cache(4, 8))
     np.testing.assert_allclose(cs[0, :4], 1.0)   # cos(0)
     np.testing.assert_allclose(cs[0, 4:], 0.0)   # sin(0)
+
+
+def test_sampling_ops(rng):
+    import jax
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops import sampling
+
+    logits = jnp.asarray(rng.standard_normal((4, 64)) * 3, jnp.float32)
+
+    # greedy passthrough
+    ids = sampling.sample(logits, jax.random.PRNGKey(0), temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(ids),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+    # top-k=1 equals greedy regardless of temperature/noise
+    ids = sampling.sample(logits, jax.random.PRNGKey(1), temperature=2.0, top_k=1)
+    np.testing.assert_array_equal(np.asarray(ids),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+    # top-k masks exactly k survivors
+    m = sampling.top_k_mask(logits, 5)
+    assert int((np.asarray(m) > -1e29).sum(1).max()) == 5
+
+    # top-p keeps the smallest nucleus: p→0 keeps only the top token
+    m = sampling.top_p_mask(logits, 1e-9)
+    assert int((np.asarray(m) > -1e29).sum()) == 4
+    # nucleus contains the top token and its mass is >= p for p=0.6
+    m = np.asarray(sampling.top_p_mask(logits, 0.6))
+    probs = np.asarray(jax.nn.softmax(logits, -1))
+    for i in range(4):
+        keep = m[i] > -1e29
+        assert keep[probs[i].argmax()]
+        assert probs[i][keep].sum() >= 0.6 - 1e-5
+
+    # min_p: all survivors within factor of max prob
+    m = np.asarray(sampling.min_p_mask(logits, 0.3))
+    for i in range(4):
+        keep = m[i] > -1e29
+        assert probs[i][keep].min() >= 0.3 * probs[i].max() - 1e-7
+
+    # sampled ids are always inside the top-k mask
+    ids = np.asarray(sampling.sample(logits, jax.random.PRNGKey(2),
+                                     temperature=1.5, top_k=3))
+    topk_sets = np.argsort(-np.asarray(logits), -1)[:, :3]
+    for i in range(4):
+        assert ids[i] in topk_sets[i]

@@ -137,3 +137,26 @@ def test_int8_kv_prefill_matches_decode_path_cache():
     outs = eng.generate([toks, toks[:5]], max_new_tokens=4)
     assert all(len(o) == 4 for o in outs)
     assert outs[0][0] == int(jnp.argmax(lg_p[-1]))
+
+
+def test_engine_sampling_mode(rng):
+    """temperature>0 engine produces valid tokens and stays deterministic for
+    a fixed seed; greedy default unchanged."""
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+
+    e1 = LlamaEngine(cfg, params=params, decode_batch=2, seed=7,
+                     temperature=0.8, top_k=8)
+    o1 = e1.generate(prompts, max_new_tokens=5)
+    e2 = LlamaEngine(cfg, params=params, decode_batch=2, seed=7,
+                     temperature=0.8, top_k=8)
+    o2 = e2.generate(prompts, max_new_tokens=5)
+    assert o1 == o2
+    assert all(0 <= t < cfg.vocab_size for o in o1 for t in o)
+
+    e3 = LlamaEngine(cfg, params=params, decode_batch=2, seed=8,
+                     temperature=0.8, top_k=8)
+    # different seed may differ (not asserted — just must be valid)
+    o3 = e3.generate(prompts, max_new_tokens=5)
+    assert all(len(o) == 5 for o in o3)
