@@ -115,6 +115,41 @@ ChunkNode* find_child(ChunkNode* n, const int32_t* chunk, int32_t len) {
   return nullptr;
 }
 
+// Evict up to `need` least-recently-used evictable leaves (pages held ONLY by
+// the cache, refcount == 1). Removing a leaf can expose its parent as the
+// next candidate, so re-scan until satisfied. Returns pages freed.
+int32_t evict_lru(Scheduler* s, RadixCache* cache, int32_t need) {
+  int32_t freed = 0;
+  while (freed < need) {
+    ChunkNode* best_parent = nullptr;
+    size_t best_idx = 0;
+    int64_t best_t = INT64_MAX;
+    std::vector<ChunkNode*> todo{&cache->root};
+    while (!todo.empty()) {
+      ChunkNode* n = todo.back();
+      todo.pop_back();
+      for (size_t i = 0; i < n->children.size(); ++i) {
+        ChunkNode* c = n->children[i].get();
+        if (c->children.empty()) {
+          if (c->page >= 0 && c->page < s->pool.num_pages &&
+              s->pool.refcount[c->page] == 1 && c->last_access < best_t) {
+            best_t = c->last_access;
+            best_parent = n;
+            best_idx = i;
+          }
+        } else {
+          todo.push_back(c);
+        }
+      }
+    }
+    if (!best_parent) break;
+    s->pool.release(best_parent->children[best_idx]->page);
+    best_parent->children.erase(best_parent->children.begin() + best_idx);
+    ++freed;
+  }
+  return freed;
+}
+
 }  // namespace
 
 extern "C" {
@@ -190,16 +225,25 @@ void skt_insert_prefix(void* h, const int32_t* tokens, int32_t num_tokens,
   }
 }
 
-// Allocate `count` pages into out (returns number allocated; frees none).
+// Allocate `count` pages (evicting LRU cache-only pages on exhaustion).
 int32_t skt_alloc_pages(void* h, int32_t count, int32_t* out) {
   auto* s = static_cast<Scheduler*>(h);
   int32_t got = 0;
   while (got < count) {
     int32_t p = s->pool.alloc();
-    if (p < 0) break;
+    if (p < 0) {
+      if (evict_lru(s, g_caches[s].get(), count - got) == 0) break;
+      continue;
+    }
     out[got++] = p;
   }
   return got;
+}
+
+// Explicit eviction (returns pages freed).
+int32_t skt_evict_lru(void* h, int32_t need) {
+  auto* s = static_cast<Scheduler*>(h);
+  return evict_lru(s, g_caches[s].get(), need);
 }
 
 void skt_release_pages(void* h, const int32_t* pages, int32_t count) {

@@ -53,6 +53,8 @@ def _build_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
         lib.skt_release_pages.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.skt_evict_lru.restype = ctypes.c_int32
+        lib.skt_evict_lru.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.skt_retain_pages.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.skt_schedule_step.restype = ctypes.c_int32
@@ -119,6 +121,11 @@ class NativeScheduler:
     def retain_pages(self, pages: List[int]):
         self._lib.skt_retain_pages(self._h, _arr(pages), len(pages))
 
+    def evict_lru(self, need: int) -> int:
+        """Evict up to `need` LRU cache-only pages; alloc_pages also evicts
+        automatically on exhaustion."""
+        return self._lib.skt_evict_lru(self._h, need)
+
     def schedule_step(self, max_entries: int = 256):
         out = (ctypes.c_int32 * (max_entries * 5))()
         n = self._lib.skt_schedule_step(self._h, out, max_entries)
@@ -157,6 +164,8 @@ class PyScheduler:
         self._reqs = {}
         self._next = 1
         self._cache = {}  # tuple(chunk path) -> page
+        self._atime = {}  # tuple(chunk path) -> last access clock
+        self._clock = 0
 
     def free_pages(self):
         return len(self._free)
@@ -173,11 +182,13 @@ class PyScheduler:
     def match_prefix(self, tokens):
         ps = self.page_size
         matched, pages, path = 0, [], ()
+        self._clock += 1
         for off in range(0, len(tokens) - ps + 1, ps):
             path = path + (tuple(tokens[off:off + ps]),)
             if path not in self._cache:
                 break
             pages.append(self._cache[path])
+            self._atime[path] = self._clock
             matched += ps
         return matched, pages
 
@@ -191,10 +202,34 @@ class PyScheduler:
             if path not in self._cache:
                 self._cache[path] = pages[i]
                 self._ref[pages[i]] += 1
+            self._clock += 1
+            self._atime[path] = self._clock
+
+    def evict_lru(self, need):
+        freed = 0
+        while freed < need:
+            leaves = [p for p in self._cache
+                      if not any(q[: len(p)] == p and len(q) > len(p)
+                                 for q in self._cache)
+                      and self._ref[self._cache[p]] == 1]
+            if not leaves:
+                break
+            victim = min(leaves, key=lambda p: self._atime.get(p, 0))
+            page = self._cache.pop(victim)
+            self._atime.pop(victim, None)
+            self._ref[page] -= 1
+            if self._ref[page] == 0:
+                self._free.append(page)
+            freed += 1
+        return freed
 
     def alloc_pages(self, count):
         out = []
-        while len(out) < count and self._free:
+        while len(out) < count:
+            if not self._free and self.evict_lru(count - len(out)) == 0:
+                break
+            if not self._free:
+                break
             p = self._free.pop()
             self._ref[p] = 1
             out.append(p)

@@ -67,3 +67,39 @@ def test_chunked_prefill_budget():
     py.commit_progress(1, "prefill", 2)  # after third chunk
     e4 = py.schedule_step()
     assert e4[0]["kind"] == "decode" and e4[0]["start"] == 12
+
+
+@pytest.mark.parametrize("impl", ["native", "python"])
+def test_radix_lru_eviction(impl):
+    """Exhausting the pool evicts least-recently-used cache-only pages; pages
+    pinned by live requests survive."""
+    sched = make_scheduler(6, 4, prefer_native=(impl == "native"))
+    if impl == "native" and isinstance(sched, PyScheduler):
+        pytest.skip("no native toolchain")
+
+    # two cached prefixes: A (older) and B (newer)
+    pa = sched.alloc_pages(2)
+    sched.insert_prefix([1, 2, 3, 4, 5, 6, 7, 8], pa)
+    sched.release_pages(pa)                 # cache is now the only holder
+    pb = sched.alloc_pages(2)
+    sched.insert_prefix([9, 10, 11, 12, 13, 14, 15, 16], pb)
+    sched.release_pages(pb)
+    assert sched.free_pages() == 2
+
+    # allocating 4 pages: 2 from free + 2 evicted. LRU order evicts ALL of A
+    # (leaf chain: evicting the tail chunk exposes the head) and spares B.
+    got = sched.alloc_pages(4)
+    assert len(got) == 4
+    m_a, _ = sched.match_prefix([1, 2, 3, 4, 5, 6, 7, 8])
+    m_b, _ = sched.match_prefix([9, 10, 11, 12, 13, 14, 15, 16])
+    assert m_a == 0
+    assert m_b == 8
+    sched.release_pages(got)
+
+    # a RETAINED prefix never gets evicted
+    pc = sched.alloc_pages(2)
+    sched.insert_prefix([21, 22, 23, 24, 25, 26, 27, 28], pc)
+    # request keeps its pages retained (refcount 2: request + cache)
+    got = sched.alloc_pages(4)              # drains pool + evicts B remnants
+    m_c, pages_c = sched.match_prefix([21, 22, 23, 24, 25, 26, 27, 28])
+    assert m_c == 8 and pages_c == pc
