@@ -55,6 +55,17 @@ def tiny_config(**kw) -> MlaConfig:
     return MlaConfig(**base)
 
 
+def make_mla_cos_sin(cfg: MlaConfig, theta: float = 10000.0):
+    """Neox-style cos/sin tables [max_position, qk_rope_dim] for the
+    rotate_half RoPE used by mla_preprocess (ops/mla_preprocess.py:81-86)."""
+    d = cfg.qk_rope_dim
+    inv = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+    t = np.arange(cfg.max_position, dtype=np.float64)[:, None] * inv[None, :]
+    cos = np.cos(np.concatenate([t, t], -1))
+    sin = np.sin(np.concatenate([t, t], -1))
+    return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
+
+
 def init_params(cfg: MlaConfig, seed: int = 0) -> Dict[str, Any]:
     rng = np.random.default_rng(seed)
     l, h = cfg.num_layers, cfg.hidden_size

@@ -119,3 +119,130 @@ def load_llama_w8a8(path: str):
         },
     }
     return cfg, params
+
+
+# ------------------------------------------------------ DeepSeek-V2/V3 (MLA)
+
+
+def config_mla_from_hf(path: str):
+    """MlaConfig from a DeepSeek-V2/V3-family HF config.json."""
+    from .deepseek_mla import MlaConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    return MlaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        kv_lora_rank=hf["kv_lora_rank"],
+        qk_rope_dim=hf["qk_rope_head_dim"],
+        qk_nope_dim=hf["qk_nope_head_dim"],
+        v_head_dim=hf["v_head_dim"],
+        q_lora_rank=hf["q_lora_rank"],
+        intermediate_size=hf["intermediate_size"],
+        rms_eps=hf.get("rms_norm_eps", 1e-6),
+        max_position=min(hf.get("max_position_embeddings", 4096), 32768),
+    )
+
+
+def load_deepseek_mla_w8a8(path: str):
+    """HF DeepSeek-V2/V3 checkpoint -> models.deepseek_mla param pytree.
+
+    Weight mapping into the mla_preprocess fused layout
+    (ops/mla_preprocess.py:117: wdqkv output order [ctkv | krope | q_lora]):
+      wdqkv = rowstack(kv_a_proj_with_mqa, q_a_proj), quantized per out row
+      wuq   = q_b_proj (per-head [nope | rope] column order matches HF)
+      wuk   = kv_b_proj K-half   [H, nope, kv_lora]
+      wuv   = kv_b_proj V-half^T [H, kv_lora, v_dim]
+      gamma0/1/2 = input_layernorm / q_a_layernorm / kv_a_layernorm
+    Static per-tensor activation quant scales (qscale0/1) are set from a
+    calibration-free heuristic; use quant_mode="per_token" on the decode step
+    for calibration-free serving.
+    """
+    from .deepseek_mla import make_mla_cos_sin
+
+    cfg = config_mla_from_hf(path)
+    t = _load_all_tensors(path)
+    l = cfg.num_layers
+    heads = cfg.num_heads
+
+    def get(name):
+        return t[name].astype(np.float32)
+
+    def quant_rows(w):  # w [out, in] -> int8 [out, in] + descale [out]
+        q8, s = quantize_per_channel(w.T)
+        return q8.T, s
+
+    L = {k: [] for k in ("wdqkv_q", "wdqkv_s", "wuq_q", "wuq_s", "wuk", "wuv",
+                         "wo_q", "wo_s", "w13_q", "w13_s", "w2_q", "w2_s",
+                         "g0", "g1", "g2", "post")}
+    for i in range(l):
+        pre = f"model.layers.{i}."
+        wdqkv = np.concatenate([
+            get(pre + "self_attn.kv_a_proj_with_mqa.weight"),
+            get(pre + "self_attn.q_a_proj.weight"),
+        ], axis=0)
+        q8, s = quant_rows(wdqkv)
+        L["wdqkv_q"].append(q8)
+        L["wdqkv_s"].append(s)
+        q8, s = quant_rows(get(pre + "self_attn.q_b_proj.weight"))
+        L["wuq_q"].append(q8)
+        L["wuq_s"].append(s)
+        kv_b = get(pre + "self_attn.kv_b_proj.weight").reshape(
+            heads, cfg.qk_nope_dim + cfg.v_head_dim, cfg.kv_lora_rank)
+        L["wuk"].append(kv_b[:, : cfg.qk_nope_dim, :])
+        L["wuv"].append(kv_b[:, cfg.qk_nope_dim:, :].transpose(0, 2, 1))
+        q8, s = quantize_per_channel(get(pre + "self_attn.o_proj.weight").T)
+        L["wo_q"].append(q8)
+        L["wo_s"].append(s)
+        wg = get(pre + "mlp.gate_proj.weight").T
+        wu = get(pre + "mlp.up_proj.weight").T
+        q8, s = quantize_per_channel(np.concatenate([wg, wu], axis=1))
+        L["w13_q"].append(q8)
+        L["w13_s"].append(s)
+        q8, s = quantize_per_channel(get(pre + "mlp.down_proj.weight").T)
+        L["w2_q"].append(q8)
+        L["w2_s"].append(s)
+        L["g0"].append(get(pre + "input_layernorm.weight"))
+        L["g1"].append(get(pre + "self_attn.q_a_layernorm.weight"))
+        L["g2"].append(get(pre + "self_attn.kv_a_layernorm.weight"))
+        L["post"].append(get(pre + "post_attention_layernorm.weight"))
+
+    st = lambda k: jnp.asarray(np.stack(L[k]))
+    embed = get("model.embed_tokens.weight")
+    lm = t.get("lm_head.weight")
+    lm = embed if lm is None else lm.astype(np.float32)
+    lm_q, lm_s = quantize_per_channel(lm.T)
+    cos, sin = make_mla_cos_sin(cfg)
+
+    layers = {
+        "wdqkv": {"q": st("wdqkv_q"), "descale": st("wdqkv_s"),
+                  "bias": jnp.zeros((l, cfg.mm1_out), jnp.int32)},
+        "wuq": {"q": st("wuq_q"), "descale": st("wuq_s"),
+                "bias": jnp.zeros(
+                    (l, heads * (cfg.qk_nope_dim + cfg.qk_rope_dim)),
+                    jnp.int32)},
+        "wuk": st("wuk"), "wuv": st("wuv"),
+        "wo": {"q": st("wo_q"), "scale": st("wo_s")},
+        "w13": {"q": st("w13_q"), "scale": st("w13_s")},
+        "w2": {"q": st("w2_q"), "scale": st("w2_s")},
+        "gamma0": st("g0"), "beta0": jnp.zeros((l, cfg.hidden_size), jnp.float32),
+        "gamma1": st("g1"),
+        "beta1": jnp.zeros((l, cfg.q_lora_rank), jnp.float32),
+        "gamma2": st("g2"),
+        "post_norm": st("post").astype(jnp.bfloat16),
+        # calibration-free heuristic (per_tensor mode only)
+        "qscale0": jnp.full((l, 1), 0.05, jnp.float32),
+        "qoffset0": jnp.zeros((l, 1), jnp.float32),
+        "qscale1": jnp.full((l, 1), 0.05, jnp.float32),
+        "qoffset1": jnp.zeros((l, 1), jnp.float32),
+    }
+    params = {
+        "embed": jnp.asarray(embed, jnp.bfloat16),
+        "final_norm": jnp.asarray(get("model.norm.weight"), jnp.bfloat16),
+        "lm_head": {"q": jnp.asarray(lm_q), "scale": jnp.asarray(lm_s)},
+        "cos": cos, "sin": sin,
+        "layers": layers,
+    }
+    return cfg, params

@@ -66,3 +66,108 @@ def test_load_and_decode(tmp_path, rng):
         params, cfg, kc, vc, jnp.array([5], jnp.int32), jnp.array([0], jnp.int32),
         jnp.array([1], jnp.int32), bt, jnp.array([16], jnp.int32))
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_load_deepseek_mla(tmp_path, rng):
+    """Synthetic HF DeepSeek checkpoint -> loader -> (a) mla_preprocess of
+    layer 0 matches a numpy forward of the raw fp weights (verifies the whole
+    wdqkv/wuq/wuk/gamma mapping chain), (b) decode runs end-to-end."""
+    import json as _json
+    from safetensors.numpy import save_file
+    from sgl_kernel_npu_tpu.models import deepseek_mla, loader
+    from sgl_kernel_npu_tpu.ops import mla_preprocess as mp
+
+    h, heads, kvl, rope, nope, vdim, qlora, f = 64, 2, 32, 8, 16, 16, 48, 96
+    l, vocab = 2, 128
+    cfg_json = dict(vocab_size=vocab, hidden_size=h, num_hidden_layers=l,
+                    num_attention_heads=heads, kv_lora_rank=kvl,
+                    qk_rope_head_dim=rope, qk_nope_head_dim=nope,
+                    v_head_dim=vdim, q_lora_rank=qlora, intermediate_size=f,
+                    rms_norm_eps=1e-6, max_position_embeddings=128)
+    (tmp_path / "config.json").write_text(_json.dumps(cfg_json))
+
+    def r(*shape, s=0.1):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    tensors = {"model.embed_tokens.weight": r(vocab, h),
+               "model.norm.weight": np.ones(h, np.float32)}
+    for i in range(l):
+        p = f"model.layers.{i}."
+        tensors.update({
+            p + "self_attn.q_a_proj.weight": r(qlora, h),
+            p + "self_attn.q_a_layernorm.weight": np.ones(qlora, np.float32),
+            p + "self_attn.q_b_proj.weight": r(heads * (nope + rope), qlora),
+            p + "self_attn.kv_a_proj_with_mqa.weight": r(kvl + rope, h),
+            p + "self_attn.kv_a_layernorm.weight": np.ones(kvl, np.float32),
+            p + "self_attn.kv_b_proj.weight": r(heads * (nope + vdim), kvl),
+            p + "self_attn.o_proj.weight": r(h, heads * vdim),
+            p + "mlp.gate_proj.weight": r(f, h),
+            p + "mlp.up_proj.weight": r(f, h),
+            p + "mlp.down_proj.weight": r(h, f),
+            p + "input_layernorm.weight": np.ones(h, np.float32),
+            p + "post_attention_layernorm.weight": np.ones(h, np.float32),
+        })
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    cfg, params = loader.load_deepseek_mla_w8a8(str(tmp_path))
+    assert cfg.kv_lora_rank == kvl and cfg.num_heads == heads
+
+    # ---- numpy golden of the layer-0 pre-attention chain (fp weights)
+    n = 3
+    x = (rng.standard_normal((n, h)) * 0.5).astype(np.float32)
+    pos = np.arange(n, dtype=np.int32)
+
+    def nrm(v, g):
+        return v / np.sqrt((v * v).mean(-1, keepdims=True) + 1e-6) * g
+
+    fused = nrm(x, np.ones(h)) @ np.concatenate(
+        [tensors["model.layers.0.self_attn.kv_a_proj_with_mqa.weight"],
+         tensors["model.layers.0.self_attn.q_a_proj.weight"]], 0).T
+    ctkv = nrm(fused[:, :kvl], np.ones(kvl))
+    kpe = fused[:, kvl:kvl + rope]
+    cq = nrm(fused[:, kvl + rope:], np.ones(qlora))
+    qout = cq @ tensors["model.layers.0.self_attn.q_b_proj.weight"].T
+    qout = qout.reshape(n, heads, nope + rope)
+    kvb = tensors["model.layers.0.self_attn.kv_b_proj.weight"].reshape(
+        heads, nope + vdim, kvl)
+    q_nope = np.einsum("nhd,hdk->nhk", qout[..., :nope], kvb[:, :nope])
+    cos = np.asarray(params["cos"])[pos]
+    sin = np.asarray(params["sin"])[pos]
+
+    def rot(v, c, s):
+        half = v.shape[-1] // 2
+        return v * c + np.concatenate([-v[..., half:], v[..., :half]], -1) * s
+
+    q_pe = rot(qout[..., nope:], cos[:, None], sin[:, None])
+    k_pe = rot(kpe, cos, sin)
+
+    lp = jax.tree.map(lambda a: a[0], params["layers"])
+    ckv_c = jnp.zeros((4, cfg.page_size, kvl), jnp.float32)
+    kr_c = jnp.zeros((4, cfg.page_size, rope), jnp.float32)
+    slots = jnp.arange(n, dtype=jnp.int32)
+    out = mp.mla_preprocess(
+        jnp.asarray(x), lp["gamma0"], lp["beta0"],
+        lp["wdqkv"]["q"], lp["wdqkv"]["descale"],
+        lp["gamma1"], lp["beta1"], lp["wuq"]["q"], lp["wuq"]["descale"],
+        lp["gamma2"], jnp.asarray(cos), jnp.asarray(sin), lp["wuk"],
+        ckv_c, kr_c, slots,
+        lp["qscale0"], lp["qoffset0"], lp["wdqkv"]["bias"],
+        lp["qscale1"], lp["qoffset1"], lp["wuq"]["bias"],
+        cache_mode="krope_ctkv", quant_mode="per_token")
+
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(out.q_nope, np.float32), q_nope) < 3e-2
+    assert calc_diff(np.asarray(out.q_pe, np.float32), q_pe) < 3e-2
+    got_ctkv = np.asarray(out.kv_cache)[0, :n]
+    got_kpe = np.asarray(out.krope_cache)[0, :n]
+    assert calc_diff(got_ctkv, ctkv) < 3e-2
+    assert calc_diff(got_kpe, k_pe) < 3e-2
+
+    # ---- end-to-end decode step runs on the loaded pytree
+    ckv, kr = deepseek_mla.init_kv_cache(cfg, 6)
+    bt = jnp.array([[1, 2]], jnp.int32)
+    lg, _, _ = deepseek_mla.decode_step(
+        params, cfg, ckv, kr, jnp.array([5], jnp.int32),
+        jnp.array([0], jnp.int32), jnp.array([1], jnp.int32), bt,
+        jnp.array([16], jnp.int32))
+    assert np.isfinite(np.asarray(lg)).all()
