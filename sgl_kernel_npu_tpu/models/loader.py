@@ -246,3 +246,57 @@ def load_deepseek_mla_w8a8(path: str):
         "layers": layers,
     }
     return cfg, params
+
+
+# ------------------------------------------------ DeepSeek-V3 MoE expert bank
+
+
+def load_moe_expert_bank(path: str, num_layers: int, num_experts: int):
+    """HF DeepSeek-MoE expert weights -> the [L, E, ...] int8 bank consumed by
+    models.moe / parallel.fused_moe (w13 gate|up concatenated, w2 down), plus
+    router weights and shared-expert FFN.
+
+    HF names per layer i, expert e:
+      model.layers.{i}.mlp.experts.{e}.{gate_proj,up_proj,down_proj}.weight
+      model.layers.{i}.mlp.gate.weight            (router [E, H])
+      model.layers.{i}.mlp.shared_experts.{gate_proj,up_proj,down_proj}.weight
+    Returns dict(w13={q,scale}, w2={q,scale}, router, shared_w13, shared_w2).
+    """
+    t = _load_all_tensors(path)
+
+    def get(name):
+        return t[name].astype(np.float32)
+
+    w13_q, w13_s, w2_q, w2_s, router, sh13, sh2 = [], [], [], [], [], [], []
+    for i in range(num_layers):
+        pre = f"model.layers.{i}.mlp."
+        lq13, ls13, lq2, ls2 = [], [], [], []
+        for e in range(num_experts):
+            ep = f"{pre}experts.{e}."
+            w13 = np.concatenate([get(ep + "gate_proj.weight").T,
+                                  get(ep + "up_proj.weight").T], axis=1)
+            q8, s = quantize_per_channel(w13)
+            lq13.append(q8)
+            ls13.append(s)
+            q8, s = quantize_per_channel(get(ep + "down_proj.weight").T)
+            lq2.append(q8)
+            ls2.append(s)
+        w13_q.append(np.stack(lq13))
+        w13_s.append(np.stack(ls13))
+        w2_q.append(np.stack(lq2))
+        w2_s.append(np.stack(ls2))
+        router.append(get(pre + "gate.weight").T)           # [H, E]
+        sh13.append(np.concatenate(
+            [get(pre + "shared_experts.gate_proj.weight").T,
+             get(pre + "shared_experts.up_proj.weight").T], axis=1))
+        sh2.append(get(pre + "shared_experts.down_proj.weight").T)
+
+    return {
+        "w13": {"q": jnp.asarray(np.stack(w13_q)),
+                "scale": jnp.asarray(np.stack(w13_s))},
+        "w2": {"q": jnp.asarray(np.stack(w2_q)),
+               "scale": jnp.asarray(np.stack(w2_s))},
+        "router": jnp.asarray(np.stack(router)),
+        "shared_w13": jnp.asarray(np.stack(sh13)),
+        "shared_w2": jnp.asarray(np.stack(sh2)),
+    }

@@ -171,3 +171,59 @@ def test_load_deepseek_mla(tmp_path, rng):
         jnp.array([0], jnp.int32), jnp.array([1], jnp.int32), bt,
         jnp.array([16], jnp.int32))
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_load_moe_expert_bank(tmp_path, rng):
+    """Expert bank loader: dequantized experts match the saved fp weights and
+    slot into the fused-MoE grouped GEMM contract."""
+    import json as _json
+    from safetensors.numpy import save_file
+    from sgl_kernel_npu_tpu.models import loader
+    from sgl_kernel_npu_tpu.ops.matmul import grouped_matmul_int8_ref
+    from sgl_kernel_npu_tpu.ops.quant import per_token_quant_int8
+
+    L, E, h, f, fs = 2, 4, 32, 48, 16
+    tensors = {}
+    for i in range(L):
+        pre = f"model.layers.{i}.mlp."
+        for e in range(E):
+            ep = f"{pre}experts.{e}."
+            tensors[ep + "gate_proj.weight"] = (rng.standard_normal((f, h)) * 0.1).astype(np.float32)
+            tensors[ep + "up_proj.weight"] = (rng.standard_normal((f, h)) * 0.1).astype(np.float32)
+            tensors[ep + "down_proj.weight"] = (rng.standard_normal((h, f)) * 0.1).astype(np.float32)
+        tensors[pre + "gate.weight"] = (rng.standard_normal((E, h)) * 0.3).astype(np.float32)
+        for nm, shp in (("gate_proj", (fs, h)), ("up_proj", (fs, h)),
+                        ("down_proj", (h, fs))):
+            tensors[f"{pre}shared_experts.{nm}.weight"] = \
+                (rng.standard_normal(shp) * 0.1).astype(np.float32)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    bank = loader.load_moe_expert_bank(str(tmp_path), L, E)
+    assert bank["w13"]["q"].shape == (L, E, h, 2 * f)
+    assert bank["w2"]["q"].shape == (L, E, f, h)
+    assert bank["router"].shape == (L, h, E)
+
+    # dequant expert 2 of layer 1 matches the saved fp weights
+    deq = np.asarray(bank["w13"]["q"][1, 2], np.float32) * \
+        np.asarray(bank["w13"]["scale"][1, 2])
+    want = np.concatenate(
+        [tensors["model.layers.1.mlp.experts.2.gate_proj.weight"].T,
+         tensors["model.layers.1.mlp.experts.2.up_proj.weight"].T], axis=1)
+    from .utils import calc_diff
+    assert calc_diff(deq, want) < 5e-3
+
+    # grouped GEMM over the loaded bank == per-expert fp matmuls
+    counts = np.array([3, 0, 2, 1], np.int32)
+    x = (rng.standard_normal((int(counts.sum()), h)) * 0.5).astype(np.float32)
+    xq, xs = per_token_quant_int8(jnp.asarray(x))
+    got = np.asarray(grouped_matmul_int8_ref(
+        xq, bank["w13"]["q"][0], xs, bank["w13"]["scale"][0],
+        jnp.asarray(counts)), np.float32)
+    row = 0
+    for e in range(E):
+        we = np.concatenate(
+            [tensors[f"model.layers.0.mlp.experts.{e}.gate_proj.weight"].T,
+             tensors[f"model.layers.0.mlp.experts.{e}.up_proj.weight"].T], 1)
+        for _ in range(counts[e]):
+            assert calc_diff(got[row], x[row] @ we) < 2e-2
+            row += 1
