@@ -273,3 +273,91 @@ def prefill_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
     x = _rms(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
     return logits, ckv_cache, krope_cache
+
+
+def decode_verify_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
+                       input_ids, positions, tree_mask, seq_lens,
+                       block_table, slot_mapping):
+    """Multi-token MLA verification step (config-3 spec decode: the target
+    model scores a whole draft tree in one pass; ops.speculative's
+    build_tree_efficient supplies `tree_mask`, verify_tree_greedy consumes the
+    argmax of the returned logits).
+
+    input_ids/positions/slot_mapping [B, dt]; tree_mask [B, dt, dt] bool;
+    seq_lens [B] prefix length EXCLUDING drafts; block_table [B, mp].
+    Returns (logits [B, dt, V], ckv_cache, krope_cache).
+    """
+    b, dt = input_ids.shape
+    n = b * dt
+    heads = cfg.num_heads
+    sm_scale = 1.0 / ((cfg.qk_nope_dim + cfg.qk_rope_dim) ** 0.5)
+    ps = cfg.page_size
+    mp_pages = block_table.shape[1]
+    npos = mp_pages * ps
+
+    x = params["embed"][input_ids].reshape(n, -1)
+    cos = params["cos"][positions.reshape(-1)]
+    sin = params["sin"][positions.reshape(-1)]
+    slots = slot_mapping.reshape(-1)
+
+    # position mask: gathered row p is visible to draft i of request b iff
+    # p < seq_len (prefix) or p lands on draft j with tree_mask[b, i, j]
+    nidx = jnp.arange(npos)
+    off = nidx[None, :] - seq_lens[:, None]                   # [B, N]
+    in_tree = (off >= 0) & (off < dt)
+    tree_ok = jnp.take_along_axis(
+        tree_mask, jnp.broadcast_to(jnp.clip(off, 0, dt - 1)[:, None, :],
+                                    (b, dt, npos)), axis=2)
+    allowed = (nidx[None, None, :] < seq_lens[:, None, None]) \
+        | (in_tree[:, None, :] & tree_ok)                     # [B, dt, N]
+
+    def layer(carry, inputs):
+        x, ckv_all, kr_all, li = carry
+        lp = inputs
+        ckv_c = jax.lax.dynamic_index_in_dim(ckv_all, li, 0, keepdims=False)
+        kr_c = jax.lax.dynamic_index_in_dim(kr_all, li, 0, keepdims=False)
+
+        out = mp.mla_preprocess(
+            x, lp["gamma0"], lp["beta0"],
+            lp["wdqkv"]["q"], lp["wdqkv"]["descale"],
+            lp["gamma1"], lp["beta1"], lp["wuq"]["q"], lp["wuq"]["descale"],
+            lp["gamma2"], cos, sin, lp["wuk"],
+            ckv_c, kr_c, slots,
+            lp["qscale0"], lp["qoffset0"], lp["wdqkv"]["bias"],
+            lp["qscale1"], lp["qoffset1"], lp["wuq"]["bias"],
+            cache_mode="krope_ctkv",
+        )
+        # gather prefix + drafts straight from the updated cache (logical
+        # position order — drafts sit at seq_len..seq_len+dt-1)
+        ckv_rows = out.kv_cache[block_table].reshape(
+            b, npos, -1).astype(jnp.float32)
+        kr_rows = out.krope_cache[block_table].reshape(
+            b, npos, -1).astype(jnp.float32)
+        qn = out.q_nope.reshape(b, dt, heads, -1).astype(jnp.float32)
+        qp = out.q_pe.reshape(b, dt, heads, -1).astype(jnp.float32)
+
+        s = (jnp.einsum("bthk,bnk->bthn", qn, ckv_rows)
+             + jnp.einsum("bthr,bnr->bthn", qp, kr_rows)) * sm_scale
+        s = jnp.where(allowed[:, :, None, :], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        att = jnp.einsum("bthn,bnk->bthk", p, ckv_rows)
+        att = jnp.einsum("bthk,hkd->bthd", att, lp["wuv"])
+        x2 = x + _qmm(att.reshape(n, -1).astype(x.dtype), lp["wo"])
+
+        h2 = _rms(x2, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2, lp["w13"]).astype(jnp.float32)
+        f = cfg.intermediate_size
+        act = (ug[:, :f] * jax.nn.sigmoid(ug[:, :f]) * ug[:, f:]).astype(x.dtype)
+        x2 = x2 + _qmm(act, lp["w2"])
+
+        ckv_all = jax.lax.dynamic_update_slice_in_dim(
+            ckv_all, out.kv_cache[None], li, 0)
+        kr_all = jax.lax.dynamic_update_slice_in_dim(
+            kr_all, out.krope_cache[None], li, 0)
+        return (x2, ckv_all, kr_all, li + 1), ()
+
+    (x, ckv_cache, krope_cache, _), _ = jax.lax.scan(
+        layer, (x, ckv_cache, krope_cache, jnp.int32(0)), params["layers"])
+    x = _rms(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    return logits.reshape(b, dt, -1), ckv_cache, krope_cache

@@ -162,3 +162,41 @@ def test_mla_prefill_decode_consistency(rng):
                                               tokens, pos2, slots2)
     from .utils import calc_diff
     assert calc_diff(np.asarray(lg_dec)[0], np.asarray(lg_full)[-1]) < 2e-3
+
+
+def test_mla_verify_step_linear_chain(rng):
+    """MLA tree-verify of a causal chain == sequential decode logits."""
+    cfg = deepseek_mla.tiny_config()
+    params = deepseek_mla.init_params(cfg)
+    n, dt = 9, 3
+    toks = jnp.array(rng.integers(0, cfg.vocab_size, n + dt), jnp.int32)
+    bt = jnp.array([[1, 2, 3]], jnp.int32)
+    ps = cfg.page_size
+
+    def slot(p):
+        return bt[0, p // ps] * ps + p % ps
+
+    ckv, kr = deepseek_mla.init_kv_cache(cfg, 8)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    slots = jnp.array([int(slot(p)) for p in range(n)], jnp.int32)
+    _, ckv, kr = deepseek_mla.prefill_step(params, cfg, ckv, kr, toks[:n],
+                                           pos, slots)
+
+    dpos = jnp.arange(n, n + dt, dtype=jnp.int32)[None]
+    dslots = jnp.array([[int(slot(p)) for p in range(n, n + dt)]], jnp.int32)
+    mask = jnp.tril(jnp.ones((1, dt, dt), bool))
+    lg_v, _, _ = deepseek_mla.decode_verify_step(
+        params, cfg, ckv, kr, toks[n:n + dt][None], dpos, mask,
+        jnp.array([n], jnp.int32), bt, dslots)
+
+    ckv2, kr2 = deepseek_mla.init_kv_cache(cfg, 8)
+    _, ckv2, kr2 = deepseek_mla.prefill_step(params, cfg, ckv2, kr2, toks[:n],
+                                             pos, slots)
+    from .utils import calc_diff
+    for i in range(dt):
+        p_i = jnp.array([n + i], jnp.int32)
+        lg, ckv2, kr2 = deepseek_mla.decode_step(
+            params, cfg, ckv2, kr2, toks[n + i:n + i + 1], p_i,
+            jnp.array([n + i + 1], jnp.int32), bt,
+            jnp.array([int(slot(n + i))], jnp.int32))
+        assert calc_diff(np.asarray(lg_v)[0, i], np.asarray(lg)[0]) < 2e-3, i
