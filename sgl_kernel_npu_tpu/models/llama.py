@@ -574,3 +574,92 @@ def decode_step_tp(params_tp, cfg: LlamaConfig, kv_tp, input_ids, positions,
     )
     return fn(params_tp, kv_tp, input_ids, positions, seq_lens, block_table,
               slot_mapping)
+
+
+def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
+                          input_ids, valid_lens, positions, slot_mapping,
+                          block_tables, prefix_lens):
+    """Batched chunked prefill: S sequences' chunks padded to [S, T].
+
+    The TPU-idiomatic varlen: instead of a flat cu_seqlens layout (the
+    reference's Triton varlen kernels), chunks are padded to a static [S, T]
+    and masked — one compile per T bucket, full MXU tiles. Padding rows carry
+    slot -1 (dropped from the cache write) and their outputs are ignored.
+
+    input_ids/positions/slot_mapping [S, T]; valid_lens [S] (tokens of each
+    chunk that are real); block_tables [S, max_pages]; prefix_lens [S] (tokens
+    of each sequence already in the cache before this chunk).
+    Returns (logits [S, T, V], kv_cache).
+    """
+    s, t = input_ids.shape
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = hq // hkv
+    sm_scale = 1.0 / (d ** 0.5)
+    ps = cfg.page_size
+    max_pages = block_tables.shape[1]
+    npos = max_pages * ps
+    n_tok = s * t
+
+    x = params["embed"][input_ids]                             # [S, T, H]
+    cs = params["cos_sin"][positions]
+    cos, sin = cs[..., : d // 2], cs[..., d // 2:]
+    flat_slots = slot_mapping.reshape(-1)
+
+    # visibility: gathered row n (logical position) is visible to chunk token
+    # i iff n <= prefix_len + i; padded query rows are masked entirely
+    n_idx = jnp.arange(npos)
+    allowed = (n_idx[None, None, :]
+               < prefix_lens[:, None, None] + 1 + jnp.arange(t)[None, :, None])
+    allowed &= (jnp.arange(t)[None, :, None] < valid_lens[:, None, None])
+
+    def layer(carry, inputs):
+        x, = carry
+        lp, kv_l = inputs
+        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+        qkv = _qmm(h1.reshape(n_tok, -1), lp["wqkv"])
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], -1)
+        q = apply_rope(q.reshape(s, t, hq, d), cos[:, :, None], sin[:, :, None])
+        k = apply_rope(k.reshape(s, t, hkv, d), cos[:, :, None], sin[:, :, None])
+        v = v.reshape(s, t, hkv, d)
+        if cfg.int8_kv:
+            kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
+                k.reshape(n_tok, hkv, d), v.reshape(n_tok, hkv, d),
+                kv_l["k"], kv_l["v"], kv_l["ks"], kv_l["vs"], flat_slots)
+            kv_l = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+            kdq = kc[block_tables].astype(jnp.float32) * \
+                ks[block_tables].transpose(0, 1, 2, 4, 3)
+            vdq = vc[block_tables].astype(jnp.float32) * \
+                vs[block_tables].transpose(0, 1, 2, 4, 3)
+            kp = kdq.transpose(0, 2, 1, 3, 4).reshape(s, hkv, npos, d)
+            vp = vdq.transpose(0, 2, 1, 3, 4).reshape(s, hkv, npos, d)
+        else:
+            kc, vc = reshape_and_cache_gqa_page_major(
+                k.reshape(n_tok, hkv, d), v.reshape(n_tok, hkv, d),
+                kv_l[0], kv_l[1], flat_slots)
+            kv_l = (kc, vc)
+            kp = kc[block_tables].transpose(0, 2, 1, 3, 4).reshape(
+                s, hkv, npos, d).astype(jnp.float32)
+            vp = vc[block_tables].transpose(0, 2, 1, 3, 4).reshape(
+                s, hkv, npos, d).astype(jnp.float32)
+        qh = q.reshape(s, t, hkv, g, d).astype(jnp.float32)
+
+        sc = jnp.einsum("sthgd,shnd->shgtn", qh, kp) * sm_scale
+        sc = jnp.where(allowed[:, None, None], sc, -1e30)
+        p = jax.nn.softmax(sc, axis=-1)
+        att = jnp.einsum("shgtn,shnd->sthgd", p, vp)
+        att = att.reshape(s, t, hq * d).astype(x.dtype)
+        x = x + _qmm(att.reshape(n_tok, -1), lp["wo"]).reshape(s, t, -1)
+
+        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+        ug = _qmm(h2.reshape(n_tok, -1), lp["w13"])
+        f = cfg.intermediate_size
+        g32 = ug.astype(jnp.float32)
+        act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
+               * g32[:, f:]).astype(x.dtype)
+        x = x + _qmm(act, lp["w2"]).reshape(s, t, -1)
+        return (x,), kv_l
+
+    (x,), kv_cache = jax.lax.scan(layer, (x,), (params["layers"], kv_cache))
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x.reshape(n_tok, -1), params["lm_head"]).astype(jnp.float32)
+    return logits.reshape(s, t, -1), kv_cache

@@ -40,13 +40,9 @@ class LlamaEngine:
         self._decode = jax.jit(
             lambda p, kv, i, po, sl, bt, sm: llama.decode_step_kv(
                 p, cfg, kv, i, po, sl, bt, sm))
-        self._prefill = jax.jit(
-            lambda p, kv, i, po, sm, bt, plen: self._prefill_impl(
-                p, kv, i, po, sm, bt, plen))
-
-    def _prefill_impl(self, params, kv, ids, positions, slots, bt, prefix_len):
-        return llama.prefill_chunk_step_kv(
-            params, self.cfg, kv, ids, positions, slots, bt, prefix_len)
+        self._prefill_batch = jax.jit(
+            lambda p, kv, i, vl, po, sm, bts, plens:
+            llama.prefill_batch_step_kv(p, cfg, kv, i, vl, po, sm, bts, plens))
 
     def add_request(self, tokens: List[int], max_new_tokens: int = 16) -> int:
         rid = self.sched.add_request(tokens, max_new_tokens)
@@ -86,29 +82,52 @@ class LlamaEngine:
         if not entries:
             return False
 
-        # prefill entries: run each chunk (single-sequence prefill)
-        for e in (x for x in entries if x["kind"] == "prefill"):
-            r = self.reqs[e["req_id"]]
-            lo, n = e["start"], e["len"]
-            ids = jnp.array(r["tokens"][lo:lo + n], jnp.int32)
-            pos = jnp.arange(lo, lo + n, dtype=jnp.int32)
-            slots = jnp.array([self._slot(r, p) for p in range(lo, lo + n)], jnp.int32)
-            bt = np.zeros(self.max_pages, np.int32)
-            pages = r["pages"][: self.max_pages]
-            bt[: len(pages)] = pages
-            logits, self.kv = self._prefill(
-                self.params, self.kv, ids, pos, slots, jnp.array(bt),
-                jnp.array(lo, jnp.int32))
-            self.sched.commit_progress(e["req_id"], "prefill", n)
-            r["len"] = lo + n
-            if r["len"] == len(r["tokens"]):
-                r["out"].append(int(self._pick(logits[-1][None])[0]))
-                # publish this prompt's full pages into the radix cache
-                full = (len(r["tokens"]) // self.cfg.page_size)
-                if full:
-                    self.sched.insert_prefix(
-                        r["tokens"][: full * self.cfg.page_size],
-                        r["pages"][:full])
+        # prefill entries: ALL chunks of this step in ONE padded batched call
+        # ((S, T) padded to power-of-2 buckets to bound recompiles)
+        pre = [x for x in entries if x["kind"] == "prefill"]
+        if pre:
+            def bucket(n):
+                b = 1
+                while b < n:
+                    b *= 2
+                return b
+
+            sb = bucket(len(pre))
+            tb = bucket(max(e["len"] for e in pre))
+            ids = np.zeros((sb, tb), np.int32)
+            vl = np.zeros(sb, np.int32)
+            pos = np.zeros((sb, tb), np.int32)
+            slp = np.full((sb, tb), -1, np.int32)
+            bts = np.zeros((sb, self.max_pages), np.int32)
+            plens = np.zeros(sb, np.int32)
+            for si, e in enumerate(pre):
+                r = self.reqs[e["req_id"]]
+                lo, n = e["start"], e["len"]
+                ids[si, :n] = r["tokens"][lo:lo + n]
+                vl[si] = n
+                pos[si, :n] = np.arange(lo, lo + n)
+                slp[si, :n] = [self._slot(r, p) for p in range(lo, lo + n)]
+                pages = r["pages"][: self.max_pages]
+                bts[si, : len(pages)] = pages
+                plens[si] = lo
+            logits, self.kv = self._prefill_batch(
+                self.params, self.kv, jnp.array(ids), jnp.array(vl),
+                jnp.array(pos), jnp.array(slp), jnp.array(bts),
+                jnp.array(plens))
+            for si, e in enumerate(pre):
+                r = self.reqs[e["req_id"]]
+                lo, n = e["start"], e["len"]
+                self.sched.commit_progress(e["req_id"], "prefill", n)
+                r["len"] = lo + n
+                if r["len"] == len(r["tokens"]):
+                    r["out"].append(
+                        int(self._pick(logits[si, n - 1][None])[0]))
+                    # publish this prompt's full pages into the radix cache
+                    full = (len(r["tokens"]) // self.cfg.page_size)
+                    if full:
+                        self.sched.insert_prefix(
+                            r["tokens"][: full * self.cfg.page_size],
+                            r["pages"][:full])
 
         # decode entries: one padded batch
         dec = [x for x in entries if x["kind"] == "decode"][: self.decode_batch]

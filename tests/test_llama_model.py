@@ -225,3 +225,69 @@ def test_decode_step_tp_matches_single_device(rng):
             params_tp, cfg, kv_tp, ids, pos, seq, bt, slots, mesh)
         lg, kv = llama.decode_step_kv(params, cfg, kv, ids, pos, seq, bt, slots)
         assert calc_diff(np.asarray(lg_tp), np.asarray(lg)) < 5e-3, n
+
+
+def test_prefill_batch_matches_single(rng):
+    """Padded batched prefill == per-sequence chunked prefill (both KV modes),
+    including a second chunk with a non-zero prefix."""
+    for int8 in (False, True):
+        cfg = llama.tiny_config(int8_kv=int8)
+        params = llama.init_params(cfg, jax.random.PRNGKey(6))
+        lens = [7, 4]
+        bts = jnp.array([[1, 2, 0], [3, 4, 0]], jnp.int32)
+        toks = [list(rng.integers(0, cfg.vocab_size, n)) for n in lens]
+        ps = cfg.page_size
+
+        def slots_for(si, lo, n):
+            p = jnp.arange(lo, lo + n)
+            return bts[si, p // ps] * ps + p % ps
+
+        # golden: per-sequence prefill
+        kv1 = llama.init_kv_cache(cfg, 8)
+        lgs = []
+        for si, n in enumerate(lens):
+            lg, kv1 = llama.prefill_chunk_step_kv(
+                params, cfg, kv1, jnp.array(toks[si], jnp.int32),
+                jnp.arange(n, dtype=jnp.int32), slots_for(si, 0, n),
+                bts[si], jnp.int32(0))
+            lgs.append(np.asarray(lg))
+
+        # batched: pad to T=7
+        t = max(lens)
+        ids = np.zeros((2, t), np.int32)
+        slp = np.full((2, t), -1, np.int32)
+        pos = np.zeros((2, t), np.int32)
+        for si, n in enumerate(lens):
+            ids[si, :n] = toks[si]
+            slp[si, :n] = np.asarray(slots_for(si, 0, n))
+            pos[si, :n] = np.arange(n)
+        kv2 = llama.init_kv_cache(cfg, 8)
+        lgb, kv2 = llama.prefill_batch_step_kv(
+            params, cfg, kv2, jnp.array(ids), jnp.array(lens, jnp.int32),
+            jnp.array(pos), jnp.array(slp), bts, jnp.zeros(2, jnp.int32))
+
+        from .utils import calc_diff
+        for si, n in enumerate(lens):
+            assert calc_diff(np.asarray(lgb)[si, :n], lgs[si]) < 2e-3, (int8, si)
+        k1 = kv1["k"] if int8 else kv1[0]
+        k2 = kv2["k"] if int8 else kv2[0]
+        np.testing.assert_array_equal(
+            np.asarray(k1, np.float32), np.asarray(k2, np.float32))
+
+        # second chunk for seq 0 with prefix 7
+        extra = list(rng.integers(0, cfg.vocab_size, 3))
+        lg, kv1 = llama.prefill_chunk_step_kv(
+            params, cfg, kv1, jnp.array(extra, jnp.int32),
+            jnp.arange(7, 10, dtype=jnp.int32), slots_for(0, 7, 3),
+            bts[0], jnp.int32(7))
+        ids2 = np.zeros((2, 3), np.int32)
+        slp2 = np.full((2, 3), -1, np.int32)
+        pos2 = np.zeros((2, 3), np.int32)
+        ids2[0] = extra
+        slp2[0] = np.asarray(slots_for(0, 7, 3))
+        pos2[0] = np.arange(7, 10)
+        lgb2, kv2 = llama.prefill_batch_step_kv(
+            params, cfg, kv2, jnp.array(ids2), jnp.array([3, 0], jnp.int32),
+            jnp.array(pos2), jnp.array(slp2), bts,
+            jnp.array([7, 4], jnp.int32))
+        assert calc_diff(np.asarray(lgb2)[0], np.asarray(lg)) < 2e-3, int8
