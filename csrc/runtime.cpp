@@ -311,6 +311,14 @@ void skt_commit_progress(void* h, int64_t req_id, int32_t kind, int32_t count) {
   else it->second.decoded += count;
 }
 
+// Mark a request active (admitted) without going through prefill admission —
+// used when resuming a preempted request whose KV was restored from host.
+void skt_activate_request(void* h, int64_t req_id) {
+  auto* s = static_cast<Scheduler*>(h);
+  auto it = s->requests.find(req_id);
+  if (it != s->requests.end()) it->second.active = true;
+}
+
 // Finish + release a request's pages.
 void skt_finish_request(void* h, int64_t req_id) {
   auto* s = static_cast<Scheduler*>(h);

@@ -63,6 +63,7 @@ def _build_native() -> Optional[ctypes.CDLL]:
         lib.skt_commit_progress.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
         lib.skt_finish_request.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.skt_activate_request.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.skt_num_requests.restype = ctypes.c_int32
         lib.skt_num_requests.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -146,6 +147,10 @@ class NativeScheduler:
 
     def finish_request(self, req_id: int):
         self._lib.skt_finish_request(self._h, req_id)
+
+    def activate_request(self, req_id: int):
+        """Admit without prefill admission (resume of a preempted request)."""
+        self._lib.skt_activate_request(self._h, req_id)
 
     def num_requests(self) -> int:
         return self._lib.skt_num_requests(self._h)
@@ -281,6 +286,10 @@ class PyScheduler:
         if not r:
             return
         r["prefilled" if kind == "prefill" else "decoded"] += count
+
+    def activate_request(self, rid):
+        if rid in self._reqs:
+            self._reqs[rid]["active"] = True
 
     def finish_request(self, rid):
         r = self._reqs.pop(rid, None)

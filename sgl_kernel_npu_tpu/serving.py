@@ -164,6 +164,39 @@ class LlamaEngine:
                 self.sched.release_pages(r["pages"])
         return True
 
+    def pause_request(self, rid: int):
+        """Preempt: offload this request's KV pages to the host and free them
+        (reference capability: transfer_kv_dim_exchange + torch_memory_saver
+        pause — SURVEY.md §2.6/§2.1; here per-request page granularity)."""
+        r = self.reqs[rid]
+        assert not r.get("done") and "host_kv" not in r
+        idx = jnp.array(r["pages"], jnp.int32)
+        r["host_kv"] = jax.tree.map(lambda a: np.asarray(a[:, idx]), self.kv)
+        self.sched.finish_request(rid)
+        self.sched.release_pages(r["pages"])
+        r["pages"] = []
+        return rid
+
+    def resume_request(self, rid: int) -> int:
+        """Re-admit a paused request: realloc pages (indices may differ),
+        restore the KV content, and mark progress so no recompute happens.
+        Returns the request's NEW id."""
+        r = self.reqs.pop(rid)
+        n = jax.tree.leaves(r["host_kv"])[0].shape[1]
+        pages = self.sched.alloc_pages(n)
+        assert len(pages) == n, "page pool exhausted on resume"
+        idx = jnp.array(pages, jnp.int32)
+        self.kv = jax.tree.map(
+            lambda a, hb: a.at[:, idx].set(jnp.asarray(hb, a.dtype)),
+            self.kv, r.pop("host_kv"))
+        r["pages"] = pages
+        new_rid = self.sched.add_request(r["tokens"], r["max_new"])
+        self.sched.commit_progress(new_rid, "prefill", len(r["tokens"]))
+        self.sched.commit_progress(new_rid, "decode", len(r["out"]))
+        self.sched.activate_request(new_rid)
+        self.reqs[new_rid] = r
+        return new_rid
+
     def generate(self, prompts: List[List[int]], max_new_tokens: int = 8,
                  max_steps: int = 200):
         rids = [self.add_request(p, max_new_tokens) for p in prompts]

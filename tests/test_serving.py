@@ -160,3 +160,37 @@ def test_engine_sampling_mode(rng):
     # different seed may differ (not asserted — just must be valid)
     o3 = e3.generate(prompts, max_new_tokens=5)
     assert all(len(o) == 5 for o in o3)
+
+
+def test_pause_resume_preemption():
+    """Pause mid-generation (KV offloaded to host, pages freed), let another
+    request churn the pool, resume: output identical to uninterrupted greedy."""
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = [3, 1, 4, 1, 5, 9]
+
+    eng0 = LlamaEngine(cfg, params=params, decode_batch=2, num_pages=16)
+    [plain] = eng0.generate([prompt], max_new_tokens=8)
+
+    eng = LlamaEngine(cfg, params=params, decode_batch=2, num_pages=16)
+    rid = eng.add_request(prompt, max_new_tokens=8)
+    for _ in range(6):
+        eng.step()
+    r = eng.reqs[rid]
+    assert 0 < len(r["out"]) < 8
+    done_before = list(r["out"])
+    free_before = eng.sched.free_pages()
+    eng.pause_request(rid)
+    assert eng.sched.free_pages() > free_before
+
+    # churn: another request reuses the freed pages
+    eng.generate([[7, 7, 7, 7]], max_new_tokens=6)
+
+    new_rid = eng.resume_request(rid)
+    for _ in range(60):
+        if len(eng.reqs[new_rid]["out"]) >= 8:
+            break
+        eng.step()
+    out = eng.reqs[new_rid]["out"][:8]
+    assert out[: len(done_before)] == done_before
+    assert out == plain
