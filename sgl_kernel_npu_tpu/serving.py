@@ -44,7 +44,12 @@ class LlamaEngine:
             lambda p, kv, i, vl, po, sm, bts, plens:
             llama.prefill_batch_step_kv(p, cfg, kv, i, vl, po, sm, bts, plens))
 
-    def add_request(self, tokens: List[int], max_new_tokens: int = 16) -> int:
+    def add_request(self, tokens: List[int], max_new_tokens: int = 16,
+                    stop_token_ids=None, token_bitmask=None) -> int:
+        """stop_token_ids: generation ends early on any of these ids.
+        token_bitmask: packed [ceil(V/32)] int32 vocab mask (the reference's
+        apply_token_bitmask contract, grammar-constrained decoding) applied to
+        every sampling step of this request."""
         rid = self.sched.add_request(tokens, max_new_tokens)
         # radix prefix cache: reuse cached pages for the shared prefix and
         # skip prefilling it (never reuse the final, partially-filled page).
@@ -57,14 +62,23 @@ class LlamaEngine:
         pages = cached_pages + self.sched.alloc_pages(need)
         self.reqs[rid] = {"tokens": list(tokens), "out": [], "pages": pages,
                           "len": usable, "max_new": max_new_tokens,
-                          "cached": usable}
+                          "cached": usable,
+                          "stop": set(stop_token_ids or ()),
+                          "bitmask": token_bitmask}
         if usable:
             self.sched.commit_progress(rid, "prefill", usable)
         return rid
 
-    def _pick(self, logits):
+    def _pick(self, logits, reqs=None):
         """Next-token choice: greedy by default; sampling (ops.sampling) when
-        temperature > 0."""
+        temperature > 0. Per-request grammar bitmasks apply first."""
+        if reqs is not None and any(r.get("bitmask") is not None for r in reqs):
+            from .ops.grammar import apply_token_bitmask
+            full = jnp.full((logits.shape[-1] + 31) // 32, -1, jnp.int32)
+            bm = jnp.stack([jnp.asarray(r["bitmask"], jnp.int32)
+                            if r.get("bitmask") is not None else full
+                            for r in reqs])
+            logits = apply_token_bitmask(logits, bm)
         if self.temperature == 0.0:
             return jnp.argmax(logits, -1)
         from .ops import sampling
@@ -121,7 +135,7 @@ class LlamaEngine:
                 r["len"] = lo + n
                 if r["len"] == len(r["tokens"]):
                     r["out"].append(
-                        int(self._pick(logits[si, n - 1][None])[0]))
+                        int(self._pick(logits[si, n - 1][None], [r])[0]))
                     # publish this prompt's full pages into the radix cache
                     full = (len(r["tokens"]) // self.cfg.page_size)
                     if full:
@@ -150,15 +164,20 @@ class LlamaEngine:
             logits, self.kv = self._decode(
                 self.params, self.kv, jnp.array(ids), jnp.array(pos),
                 jnp.array(seq), jnp.array(bt), jnp.array(slots))
-            nxt = np.asarray(self._pick(logits))
+            nxt = np.asarray(self._pick(
+                logits, [self.reqs[e["req_id"]] for e in dec]
+                + [{}] * (b - len(dec))))
             for i, e in enumerate(dec):
                 r = self.reqs[e["req_id"]]
                 r["out"].append(int(nxt[i]))
                 self.sched.commit_progress(e["req_id"], "decode", 1)
+                if nxt[i] in r["stop"]:
+                    r["stopped"] = True
 
         # retire finished requests (once)
         for rid, r in list(self.reqs.items()):
-            if not r.get("done") and len(r["out"]) >= r["max_new"]:
+            if not r.get("done") and (r.get("stopped")
+                                      or len(r["out"]) >= r["max_new"]):
                 r["done"] = True
                 self.sched.finish_request(rid)
                 self.sched.release_pages(r["pages"])

@@ -194,3 +194,45 @@ def test_pause_resume_preemption():
     out = eng.reqs[new_rid]["out"][:8]
     assert out[: len(done_before)] == done_before
     assert out == plain
+
+
+def test_stop_tokens_and_grammar_bitmask(rng):
+    """Per-request stop tokens end generation early; a packed vocab bitmask
+    (ops.grammar contract) constrains every sampled token."""
+    cfg = llama.tiny_config()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = [3, 1, 4, 1, 5]
+
+    # find what greedy would emit, then stop on its 3rd token
+    eng0 = LlamaEngine(cfg, params=params, decode_batch=2)
+    [plain] = eng0.generate([prompt], max_new_tokens=8)
+    stop = plain[2]
+
+    eng = LlamaEngine(cfg, params=params, decode_batch=2)
+    rid = eng.add_request(prompt, max_new_tokens=8, stop_token_ids=[stop])
+    while eng.step():
+        pass
+    out = eng.reqs[rid]["out"]
+    assert out == plain[:3]          # ends exactly at the stop token
+
+    # grammar: only even token ids allowed
+    v = cfg.vocab_size
+    words = (v + 31) // 32
+    bm = np.zeros(words, np.uint32)
+    for tok in range(0, v, 2):
+        bm[tok // 32] |= np.uint32(1) << np.uint32(tok % 32)
+    eng2 = LlamaEngine(cfg, params=params, decode_batch=2)
+    rid2 = eng2.add_request(prompt, max_new_tokens=6,
+                            token_bitmask=bm.astype(np.int32))
+    while eng2.step():
+        pass
+    assert all(t % 2 == 0 for t in eng2.reqs[rid2]["out"])
+    # unconstrained request in the same batch is unaffected
+    eng3 = LlamaEngine(cfg, params=params, decode_batch=2)
+    r_a = eng3.add_request(prompt, max_new_tokens=6,
+                           token_bitmask=bm.astype(np.int32))
+    r_b = eng3.add_request(list(prompt), max_new_tokens=6)
+    while eng3.step():
+        pass
+    assert all(t % 2 == 0 for t in eng3.reqs[r_a]["out"])
+    assert eng3.reqs[r_b]["out"] == plain[:6]
