@@ -75,3 +75,28 @@ def sample(logits, key, temperature=1.0, top_k: int = 0, top_p: float = 1.0,
     x = top_p_mask(x, top_p)
     x = min_p_mask(x, min_p)
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+
+
+def apply_penalties(logits, output_ids, output_len, presence_penalty=0.0,
+                    frequency_penalty=0.0, repetition_penalty=1.0):
+    """Standard sampling penalties over previously generated tokens.
+
+    logits [B, V]; output_ids [B, T] (generated so far, padded);
+    output_len [B] valid counts. OpenAI-style presence/frequency penalties and
+    CTRL-style repetition penalty, batched and jit-compatible.
+    """
+    b, v = logits.shape
+    t = output_ids.shape[1]
+    valid = jnp.arange(t)[None, :] < output_len[:, None]
+    onehot = jax.nn.one_hot(jnp.where(valid, output_ids, v), v + 1,
+                            dtype=jnp.float32)[..., :v]      # [B, T, V]
+    counts = jnp.sum(onehot, axis=1)                          # [B, V]
+    seen = counts > 0
+
+    x = logits.astype(jnp.float32)
+    x = x - presence_penalty * seen.astype(jnp.float32)
+    x = x - frequency_penalty * counts
+    if repetition_penalty != 1.0:
+        x = jnp.where(seen, jnp.where(x > 0, x / repetition_penalty,
+                                      x * repetition_penalty), x)
+    return x

@@ -93,3 +93,28 @@ def test_sampling_ops(rng):
     topk_sets = np.argsort(-np.asarray(logits), -1)[:, :3]
     for i in range(4):
         assert ids[i] in topk_sets[i]
+
+
+def test_apply_penalties(rng):
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops import sampling
+
+    logits = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    out_ids = jnp.array([[3, 3, 5, 0], [7, 0, 0, 0]], jnp.int32)
+    out_len = jnp.array([3, 1], jnp.int32)
+
+    x = np.asarray(sampling.apply_penalties(
+        logits, out_ids, out_len, presence_penalty=0.5, frequency_penalty=0.25))
+    base = np.asarray(logits)
+    # token 3 appeared twice for row 0: -0.5 - 2*0.25
+    np.testing.assert_allclose(x[0, 3], base[0, 3] - 1.0, rtol=1e-6)
+    np.testing.assert_allclose(x[0, 5], base[0, 5] - 0.75, rtol=1e-6)
+    np.testing.assert_allclose(x[0, 1], base[0, 1], rtol=1e-6)  # unseen
+    # row 1: padding (ids 0 beyond len) must NOT count
+    np.testing.assert_allclose(x[1, 0], base[1, 0], rtol=1e-6)
+    np.testing.assert_allclose(x[1, 7], base[1, 7] - 0.75, rtol=1e-6)
+
+    # repetition penalty scales seen tokens toward smaller probability
+    x2 = np.asarray(sampling.apply_penalties(
+        logits, out_ids, out_len, repetition_penalty=2.0))
+    assert x2[0, 3] == (base[0, 3] / 2 if base[0, 3] > 0 else base[0, 3] * 2)
