@@ -29,14 +29,20 @@ class LlamaEngine:
         self.cfg = cfg
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self._sample_key = jax.random.PRNGKey(seed ^ 0x5EED)
-        self.params = params or llama.init_params(cfg, jax.random.PRNGKey(seed))
-        self.kv = llama.init_kv_cache(cfg, num_pages)
         self.sched = make_scheduler(num_pages, cfg.page_size,
                                     token_budget=token_budget)
         self.decode_batch = decode_batch
         self.reqs: Dict[int, dict] = {}
         self.max_pages = 32
+        self._setup_model(cfg, params, num_pages, seed)
 
+    def _setup_model(self, cfg, params, num_pages, seed):
+        """Model hook: set self.params/self.kv and the two jitted step fns
+        `_decode(p, kv, ids, pos, seq, bt, slots) -> (logits [B, V], kv)` and
+        `_prefill_batch(p, kv, ids, vl, pos, slots, bts, plens)
+         -> (logits [S, T, V], kv)`. Subclasses adapt other model families."""
+        self.params = params or llama.init_params(cfg, jax.random.PRNGKey(seed))
+        self.kv = llama.init_kv_cache(cfg, num_pages)
         self._decode = jax.jit(
             lambda p, kv, i, po, sl, bt, sm: llama.decode_step_kv(
                 p, cfg, kv, i, po, sl, bt, sm))
@@ -326,3 +332,30 @@ def speculative_generate(t_params, t_cfg: llama.LlamaConfig,
             d_kv = (kc, vc)
             d_len += 1
     return out[:max_new_tokens], accept_counts
+
+
+class MlaEngine(LlamaEngine):
+    """DeepSeek-MLA serving engine: same scheduler/paged-KV/sampling machinery
+    over the MLA model family. Chunked prefill reuses decode_verify_step with
+    a causal (tril) mask — a chunk IS a fully-accepted linear "draft tree"."""
+
+    def _setup_model(self, cfg, params, num_pages, seed):
+        from .models import deepseek_mla as dm
+
+        self.params = params or dm.init_params(cfg, seed)
+        self.kv = dm.init_kv_cache(cfg, num_pages)
+
+        def dec(p, kv, i, po, sq, bt, sm):
+            lg, c, k = dm.decode_step(p, cfg, kv[0], kv[1], i, po, sq, bt, sm)
+            return lg, (c, k)
+
+        def pre(p, kv, ids, vl, pos, slots, bts, plens):
+            st, t = ids.shape
+            mask = jnp.broadcast_to(jnp.tril(jnp.ones((t, t), bool)),
+                                    (st, t, t))
+            lg, c, k = dm.decode_verify_step(p, cfg, kv[0], kv[1], ids, pos,
+                                             mask, plens, bts, slots)
+            return lg, (c, k)
+
+        self._decode = jax.jit(dec)
+        self._prefill_batch = jax.jit(pre)

@@ -236,3 +236,41 @@ def test_stop_tokens_and_grammar_bitmask(rng):
         pass
     assert all(t % 2 == 0 for t in eng3.reqs[r_a]["out"])
     assert eng3.reqs[r_b]["out"] == plain[:6]
+
+
+def test_mla_engine_matches_manual_loop(rng):
+    """MlaEngine greedy generation == hand-driven prefill+decode loop, with a
+    chunked prefill (token_budget < prompt) along the way."""
+    from sgl_kernel_npu_tpu.models import deepseek_mla as dm
+    from sgl_kernel_npu_tpu.serving import MlaEngine
+
+    cfg = dm.tiny_config()
+    params = dm.init_params(cfg)
+    prompt = list(rng.integers(0, cfg.vocab_size, 9))
+    mnt = 5
+
+    eng = MlaEngine(cfg, params=params, decode_batch=2, token_budget=4)
+    [out] = eng.generate([prompt], max_new_tokens=mnt)
+
+    # manual: full prefill then sequential decode (own page assignment)
+    ckv, kr = dm.init_kv_cache(cfg, 256)
+    bt = jnp.array([list(range(1, 4))], jnp.int32)
+    ps = cfg.page_size
+
+    def slot(p):
+        return int(bt[0, p // ps] * ps + p % ps)
+
+    n = len(prompt)
+    lg, ckv, kr = dm.prefill_step(
+        params, cfg, ckv, kr, jnp.array(prompt, jnp.int32),
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.array([slot(p) for p in range(n)], jnp.int32))
+    want = [int(jnp.argmax(lg[-1]))]
+    for i in range(mnt - 1):
+        p_i = n + i
+        lg, ckv, kr = dm.decode_step(
+            params, cfg, ckv, kr, jnp.array([want[-1]], jnp.int32),
+            jnp.array([p_i], jnp.int32), jnp.array([p_i + 1], jnp.int32), bt,
+            jnp.array([slot(p_i)], jnp.int32))
+        want.append(int(jnp.argmax(lg[0])))
+    assert out == want
