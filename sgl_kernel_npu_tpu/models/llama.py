@@ -145,7 +145,7 @@ def _qmm(x, w):
 
 def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                    input_ids, positions, seq_lens, block_table, slot_mapping,
-                   tp_axis=None):
+                   tp_axis=None, lora_ids=None):
     """One continuous-batching decode step over a KV pytree.
 
     kv_cache: (k_cache, v_cache) tuple (bf16 mode) or
@@ -153,6 +153,10 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     input_ids/positions/slot_mapping: [B]; seq_lens: [B] (length INCLUDING the
     new token); block_table: [B, max_pages].
 
+    lora_ids: [B] adapter index per request (multi-LoRA serving, the
+    reference's BGMV contract) — requires add_lora_adapters(params, ...):
+    per-layer layers["lora_wo_A"] [L, n, r, Hq*D] / ["lora_wo_B"]
+    [L, n, H, r]; id -1 = no adapter.
     tp_axis: inside a shard_map, the tensor-parallel mesh axis. `cfg` and
     `params` must then be PER-SHARD (heads split column-parallel in wqkv,
     row-parallel in wo; intermediate split in w13/w2 — see shard_params_tp);
@@ -173,7 +177,15 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     cos, sin = cs[:, : d // 2], cs[:, d // 2 :]
 
     def ffn_tail(x, att, lp, kv_all, li):
-        x = x + _reduce(_qmm(att.reshape(b, -1), lp["wo"]))
+        att = att.reshape(b, -1)
+        wo_out = _qmm(att, lp["wo"])
+        if lora_ids is not None:
+            from ..ops import lora as _lora
+            shrunk = _lora.bgmv_shrink(att, lp["lora_wo_A"], lora_ids)
+            wo_out = _lora.bgmv_expand(
+                shrunk, lp["lora_wo_B"], lora_ids, wo_out, 0,
+                wo_out.shape[-1])
+        x = x + _reduce(wo_out)
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
         ug = _qmm(h2, lp["w13"])
         f = cfg.intermediate_size
@@ -578,7 +590,7 @@ def decode_step_tp(params_tp, cfg: LlamaConfig, kv_tp, input_ids, positions,
 
 def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
                           input_ids, valid_lens, positions, slot_mapping,
-                          block_tables, prefix_lens):
+                          block_tables, prefix_lens, lora_ids=None):
     """Batched chunked prefill: S sequences' chunks padded to [S, T].
 
     The TPU-idiomatic varlen: instead of a flat cu_seqlens layout (the
@@ -648,7 +660,15 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
         p = jax.nn.softmax(sc, axis=-1)
         att = jnp.einsum("shgtn,shnd->sthgd", p, vp)
         att = att.reshape(s, t, hq * d).astype(x.dtype)
-        x = x + _qmm(att.reshape(n_tok, -1), lp["wo"]).reshape(s, t, -1)
+        att_flat = att.reshape(n_tok, -1)
+        wo_out = _qmm(att_flat, lp["wo"])
+        if lora_ids is not None:
+            from ..ops import lora as _lora
+            tok_ids = jnp.repeat(lora_ids, t)
+            shrunk = _lora.bgmv_shrink(att_flat, lp["lora_wo_A"], tok_ids)
+            wo_out = _lora.bgmv_expand(shrunk, lp["lora_wo_B"], tok_ids,
+                                       wo_out, 0, wo_out.shape[-1])
+        x = x + wo_out.reshape(s, t, -1)
 
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
         ug = _qmm(h2.reshape(n_tok, -1), lp["w13"])
@@ -663,3 +683,25 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x.reshape(n_tok, -1), params["lm_head"]).astype(jnp.float32)
     return logits.reshape(s, t, -1), kv_cache
+
+
+def add_lora_adapters(params, cfg: LlamaConfig, num_adapters: int, rank: int,
+                      seed: int = 0, scale: float = 0.05):
+    """Attach per-layer multi-LoRA adapters on the attention output projection
+    (the reference's multi-LoRA serving surface: BGMV shrink/expand per token,
+    python/sgl_kernel_npu lora ops). Returns a NEW params pytree whose
+    layers carry lora_wo_A [L, n, r, Hq*D] and lora_wo_B [L, n, H, r]."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    l = cfg.num_layers
+    layers = dict(params["layers"])
+    layers["lora_wo_A"] = jnp.asarray(
+        rng.standard_normal((l, num_adapters, rank, cfg.q_size)) * scale,
+        jnp.float32)
+    layers["lora_wo_B"] = jnp.asarray(
+        rng.standard_normal((l, num_adapters, cfg.hidden_size, rank)) * scale,
+        jnp.float32)
+    out = dict(params)
+    out["layers"] = layers
+    return out

@@ -43,15 +43,19 @@ class LlamaEngine:
          -> (logits [S, T, V], kv)`. Subclasses adapt other model families."""
         self.params = params or llama.init_params(cfg, jax.random.PRNGKey(seed))
         self.kv = llama.init_kv_cache(cfg, num_pages)
+        lora = "lora_wo_A" in self.params["layers"]
         self._decode = jax.jit(
-            lambda p, kv, i, po, sl, bt, sm: llama.decode_step_kv(
-                p, cfg, kv, i, po, sl, bt, sm))
+            lambda p, kv, i, po, sl, bt, sm, lid: llama.decode_step_kv(
+                p, cfg, kv, i, po, sl, bt, sm,
+                lora_ids=lid if lora else None))
         self._prefill_batch = jax.jit(
-            lambda p, kv, i, vl, po, sm, bts, plens:
-            llama.prefill_batch_step_kv(p, cfg, kv, i, vl, po, sm, bts, plens))
+            lambda p, kv, i, vl, po, sm, bts, plens, lid:
+            llama.prefill_batch_step_kv(p, cfg, kv, i, vl, po, sm, bts, plens,
+                                        lora_ids=lid if lora else None))
 
     def add_request(self, tokens: List[int], max_new_tokens: int = 16,
-                    stop_token_ids=None, token_bitmask=None) -> int:
+                    stop_token_ids=None, token_bitmask=None,
+                    lora_id: int = -1) -> int:
         """stop_token_ids: generation ends early on any of these ids.
         token_bitmask: packed [ceil(V/32)] int32 vocab mask (the reference's
         apply_token_bitmask contract, grammar-constrained decoding) applied to
@@ -59,7 +63,12 @@ class LlamaEngine:
         rid = self.sched.add_request(tokens, max_new_tokens)
         # radix prefix cache: reuse cached pages for the shared prefix and
         # skip prefilling it (never reuse the final, partially-filled page).
-        matched, cached_pages = self.sched.match_prefix(tokens)
+        # LoRA requests neither reuse nor publish prefixes: adapters change
+        # the hidden states, so KV is only shareable within the same adapter.
+        if lora_id >= 0:
+            matched, cached_pages = 0, []
+        else:
+            matched, cached_pages = self.sched.match_prefix(tokens)
         usable = min(matched, max(0, (len(tokens) - 1)) // self.cfg.page_size
                      * self.cfg.page_size)
         cached_pages = cached_pages[: usable // self.cfg.page_size]
@@ -70,7 +79,7 @@ class LlamaEngine:
                           "len": usable, "max_new": max_new_tokens,
                           "cached": usable,
                           "stop": set(stop_token_ids or ()),
-                          "bitmask": token_bitmask}
+                          "bitmask": token_bitmask, "lora": lora_id}
         if usable:
             self.sched.commit_progress(rid, "prefill", usable)
         return rid
@@ -120,6 +129,7 @@ class LlamaEngine:
             slp = np.full((sb, tb), -1, np.int32)
             bts = np.zeros((sb, self.max_pages), np.int32)
             plens = np.zeros(sb, np.int32)
+            lids = np.full(sb, -1, np.int32)
             for si, e in enumerate(pre):
                 r = self.reqs[e["req_id"]]
                 lo, n = e["start"], e["len"]
@@ -130,10 +140,11 @@ class LlamaEngine:
                 pages = r["pages"][: self.max_pages]
                 bts[si, : len(pages)] = pages
                 plens[si] = lo
+                lids[si] = r.get("lora", -1)
             logits, self.kv = self._prefill_batch(
                 self.params, self.kv, jnp.array(ids), jnp.array(vl),
                 jnp.array(pos), jnp.array(slp), jnp.array(bts),
-                jnp.array(plens))
+                jnp.array(plens), jnp.array(lids))
             for si, e in enumerate(pre):
                 r = self.reqs[e["req_id"]]
                 lo, n = e["start"], e["len"]
@@ -144,7 +155,7 @@ class LlamaEngine:
                         int(self._pick(logits[si, n - 1][None], [r])[0]))
                     # publish this prompt's full pages into the radix cache
                     full = (len(r["tokens"]) // self.cfg.page_size)
-                    if full:
+                    if full and r.get("lora", -1) < 0:
                         self.sched.insert_prefix(
                             r["tokens"][: full * self.cfg.page_size],
                             r["pages"][:full])
@@ -158,6 +169,7 @@ class LlamaEngine:
             seq = np.ones(b, np.int32)
             bt = np.zeros((b, self.max_pages), np.int32)
             slots = np.full(b, -1, np.int32)
+            lids = np.full(b, -1, np.int32)
             for i, e in enumerate(dec):
                 r = self.reqs[e["req_id"]]
                 cur_len = len(r["tokens"]) + len(r["out"])
@@ -167,9 +179,11 @@ class LlamaEngine:
                 pages = r["pages"][: self.max_pages]
                 bt[i, : len(pages)] = pages
                 slots[i] = self._slot(r, cur_len - 1)
+                lids[i] = r.get("lora", -1)
             logits, self.kv = self._decode(
                 self.params, self.kv, jnp.array(ids), jnp.array(pos),
-                jnp.array(seq), jnp.array(bt), jnp.array(slots))
+                jnp.array(seq), jnp.array(bt), jnp.array(slots),
+                jnp.array(lids))
             nxt = np.asarray(self._pick(
                 logits, [self.reqs[e["req_id"]] for e in dec]
                 + [{}] * (b - len(dec))))
@@ -345,11 +359,13 @@ class MlaEngine(LlamaEngine):
         self.params = params or dm.init_params(cfg, seed)
         self.kv = dm.init_kv_cache(cfg, num_pages)
 
-        def dec(p, kv, i, po, sq, bt, sm):
+        def dec(p, kv, i, po, sq, bt, sm, lid):
+            del lid  # MLA engine: no LoRA surface yet
             lg, c, k = dm.decode_step(p, cfg, kv[0], kv[1], i, po, sq, bt, sm)
             return lg, (c, k)
 
-        def pre(p, kv, ids, vl, pos, slots, bts, plens):
+        def pre(p, kv, ids, vl, pos, slots, bts, plens, lid):
+            del lid
             st, t = ids.shape
             mask = jnp.broadcast_to(jnp.tril(jnp.ones((t, t), bool)),
                                     (st, t, t))

@@ -274,3 +274,55 @@ def test_mla_engine_matches_manual_loop(rng):
             jnp.array([slot(p_i)], jnp.int32))
         want.append(int(jnp.argmax(lg[0])))
     assert out == want
+
+
+def test_multi_lora_serving(rng):
+    """Per-request adapters: requests with different lora_ids in one batch get
+    different outputs; lora_id=-1 matches the no-adapter baseline exactly."""
+    cfg = llama.tiny_config()
+    base = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.add_lora_adapters(base, cfg, num_adapters=2, rank=4,
+                                     seed=3, scale=0.3)
+    prompt = [3, 1, 4, 1, 5]
+
+    eng0 = LlamaEngine(cfg, params=base, decode_batch=4)
+    [plain] = eng0.generate([prompt], max_new_tokens=6)
+
+    eng = LlamaEngine(cfg, params=params, decode_batch=4)
+    r_none = eng.add_request(prompt, max_new_tokens=6, lora_id=-1)
+    r_a = eng.add_request(list(prompt), max_new_tokens=6, lora_id=0)
+    r_b = eng.add_request(list(prompt), max_new_tokens=6, lora_id=1)
+    while eng.step():
+        pass
+    out_none = eng.reqs[r_none]["out"]
+    out_a = eng.reqs[r_a]["out"]
+    out_b = eng.reqs[r_b]["out"]
+    assert out_none == plain
+    assert out_a != out_none and out_b != out_none and out_a != out_b
+
+
+def test_lora_requests_do_not_share_prefix_cache(rng):
+    """A page-spanning prompt cached by a base request must NOT be reused for
+    a LoRA request (adapter changes hidden states), and vice versa."""
+    cfg = llama.tiny_config()
+    base = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.add_lora_adapters(base, cfg, num_adapters=1, rank=4,
+                                     seed=3, scale=0.3)
+    prompt = list(rng.integers(0, cfg.vocab_size, 2 * cfg.page_size + 3))
+
+    # adapter-first then base and vice versa must both equal isolated runs
+    iso_a = LlamaEngine(cfg, params=params, decode_batch=2)
+    [want_a] = iso_a.generate([prompt], max_new_tokens=4)  # base path
+    ra = iso_a.add_request(list(prompt), max_new_tokens=4, lora_id=0)
+    while iso_a.step():
+        pass
+    want_lora = iso_a.reqs[ra]["out"]
+
+    eng = LlamaEngine(cfg, params=params, decode_batch=2)
+    r0 = eng.add_request(list(prompt), max_new_tokens=4)           # base, caches
+    r1 = eng.add_request(list(prompt), max_new_tokens=4, lora_id=0)
+    while eng.step():
+        pass
+    assert eng.reqs[r0]["out"] == want_a
+    assert eng.reqs[r1]["out"] == want_lora
+    assert want_a != want_lora  # adapter actually changes the output
