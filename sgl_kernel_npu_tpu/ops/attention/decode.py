@@ -287,7 +287,10 @@ def decode_mla_pallas(q, ckv_cache, krope_cache, seq_lens, block_table, sm_scale
 
 
 def decode_gqa(q, k_cache, v_cache, seq_lens, block_table, sm_scale, page_size):
-    if use_pallas():
+    # Mosaic lane tiling wants the head dim to be a multiple of 128 (verified
+    # on v5e: D=32 fails "slice along dim 3 must be aligned to tiling (128)");
+    # sub-128 head dims take the XLA reference path.
+    if use_pallas() and q.shape[-1] % 128 == 0 and v_cache.shape[-1] % 128 == 0:
         # v2 (in-kernel double-buffered page DMA, per-sequence trip counts)
         # measures ~18% faster than the grid-per-page v1 on v5e.
         from .decode_v2 import decode_gqa_pallas_v2
