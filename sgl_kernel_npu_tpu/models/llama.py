@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention.decode import decode_gqa_ref
-from ..ops.attention.decode_v4 import decode_fused_v4_int8
+from ..ops.attention.decode_v4 import (decode_fused_v4_int8, decode_v4b_int8,
+                                       scatter_stacked_int8)
 from ..ops.attention.decode_v3 import (
     decode_gqa_pallas_v3,
     decode_gqa_pallas_v3_int8,
@@ -213,13 +214,25 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         def upd(full, one):
             return jax.lax.dynamic_update_slice_in_dim(full, one[None], li, 0)
 
-        if cfg.int8_kv and use_pallas() and env.decode_v4():
+        v4 = env.decode_v4() if (cfg.int8_kv and use_pallas()) else 0
+        if v4 == 1:
             # fused scatter+attend over the ALIASED stacked cache: no per-layer
             # slice copy, no XLA scatter (see ops/attention/decode_v4.py)
             att, kc_a, vc_a, ks_a, vs_a = decode_fused_v4_int8(
                 q, k, v, kv_all["k"], kv_all["v"], kv_all["ks"], kv_all["vs"],
                 seq_lens, block_table, slot_mapping, li, sm_scale,
                 cfg.page_size)
+            kv_all = {"k": kc_a, "v": vc_a, "ks": ks_a, "vs": vs_a}
+            return ffn_tail(x, att, lp, kv_all, li)
+        if v4 == 2:
+            # XLA scatter straight into the stacked caches, then the
+            # pass-through-aliased attend (no slice, no defensive copy)
+            kc_a, vc_a, ks_a, vs_a = scatter_stacked_int8(
+                k, v, kv_all["k"], kv_all["v"], kv_all["ks"], kv_all["vs"],
+                li, slot_mapping)
+            att, kc_a, vc_a, ks_a, vs_a = decode_v4b_int8(
+                q, kc_a, vc_a, ks_a, vs_a, seq_lens, block_table, li,
+                sm_scale, cfg.page_size)
             kv_all = {"k": kc_a, "v": vc_a, "ks": ks_a, "vs": vs_a}
             return ffn_tail(x, att, lp, kv_all, li)
 

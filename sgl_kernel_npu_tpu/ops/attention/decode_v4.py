@@ -431,3 +431,173 @@ def decode_fused_v4(q, k_new, v_new, k_cache, v_cache, seq_lens, block_table,
       slot_mapping.astype(jnp.int32), jnp.asarray(layer_idx, jnp.int32)[None],
       q4, k_new, v_new, k_cache, v_cache)
     return att.reshape(b, hq, dv), kc, vc
+
+
+def _kernel_v4b_int8(seq_lens_ref, block_table_ref, li_ref,
+                     q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
+                     out_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+                     k_buf, v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref,
+                     *, page_size, sm_scale, hkv, g):
+    del ko_hbm, vo_hbm, kso_hbm, vso_hbm   # aliased pass-through, never written
+    b = pl.program_id(0)
+    li = li_ref[0]
+    seq_len = seq_lens_ref[b]
+    num_pages = pl.cdiv(seq_len, page_size)
+
+    def rd(buf, hbm, slot_, page_idx, sem):
+        page = block_table_ref[b, page_idx]
+        return pltpu.make_async_copy(hbm.at[li, page], buf.at[slot_], sem)
+
+    def body(p, _, sems):
+        sl = jax.lax.rem(p, NBUF)
+        nxt = jax.lax.rem(p + 1, NBUF)
+
+        @pl.when(p + 1 < num_pages)
+        def _start():
+            rd(k_buf, k_hbm, nxt, p + 1, sems.at[nxt, 0]).start()
+            rd(v_buf, v_hbm, nxt, p + 1, sems.at[nxt, 1]).start()
+            rd(ks_buf, ks_hbm, nxt, p + 1, sems.at[nxt, 2]).start()
+            rd(vs_buf, vs_hbm, nxt, p + 1, sems.at[nxt, 3]).start()
+
+        rd(k_buf, k_hbm, sl, p, sems.at[sl, 0]).wait()
+        rd(v_buf, v_hbm, sl, p, sems.at[sl, 1]).wait()
+        rd(ks_buf, ks_hbm, sl, p, sems.at[sl, 2]).wait()
+        rd(vs_buf, vs_hbm, sl, p, sems.at[sl, 3]).wait()
+
+        col = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (g, page_size), 1)
+        valid = col < seq_len
+
+        for h in range(hkv):
+            q = q_ref[0, h].astype(jnp.float32)
+            ks = ks_buf[sl, h].astype(jnp.float32)
+            vs = vs_buf[sl, h].astype(jnp.float32)
+            k = k_buf[sl, h].astype(jnp.float32) * ks.reshape(page_size, 1)
+            v = v_buf[sl, h].astype(jnp.float32) * vs.reshape(page_size, 1)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            s = jnp.where(valid, s, _NEG_INF)
+            mh_prev = m_ref[h * g:(h + 1) * g, :]
+            mh = jnp.maximum(mh_prev, jnp.max(s, -1, keepdims=True))
+            alpha = jnp.exp(mh_prev - mh)
+            pexp = jnp.exp(s - mh)
+            l_ref[h * g:(h + 1) * g, :] = (
+                l_ref[h * g:(h + 1) * g, :] * alpha
+                + jnp.sum(pexp, -1, keepdims=True))
+            acc_ref[h * g:(h + 1) * g, :] = (
+                acc_ref[h * g:(h + 1) * g, :] * alpha
+                + jax.lax.dot_general(pexp, v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+            m_ref[h * g:(h + 1) * g, :] = mh
+        return 0
+
+    def run(sems):
+        rd(k_buf, k_hbm, 0, 0, sems.at[0, 0]).start()
+        rd(v_buf, v_hbm, 0, 0, sems.at[0, 1]).start()
+        rd(ks_buf, ks_hbm, 0, 0, sems.at[0, 2]).start()
+        rd(vs_buf, vs_hbm, 0, 0, sems.at[0, 3]).start()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        jax.lax.fori_loop(0, num_pages, lambda p, c: body(p, c, sems), 0)
+        out_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-37)
+                      ).astype(out_ref.dtype)
+
+    pl.run_scoped(run, pltpu.SemaphoreType.DMA((NBUF, 4)))
+
+
+def scatter_stacked_int8(k, v, k_cache, v_cache, k_scales, v_scales,
+                         layer_idx, slot_mapping):
+    """Quantize + scatter the new tokens straight into the STACKED caches
+    (one XLA scatter at [layer_idx, page, :, off]; quantization bit-identical
+    to reshape_and_cache_gqa_page_major_int8)."""
+    _, num_pages, hkv, ps, d = k_cache.shape
+    page = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)
+    off = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+
+    def q8(x):
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-7) / 127.0
+        qv = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127)
+        return qv.astype(jnp.int8), scale[..., 0]
+
+    kq, ks = q8(k)
+    vq, vs = q8(v)
+    k_cache = k_cache.at[layer_idx, page, :, off].set(kq, mode="drop")
+    v_cache = v_cache.at[layer_idx, page, :, off].set(vq, mode="drop")
+    k_scales = k_scales.at[layer_idx, page, :, 0, off].set(
+        ks.astype(k_scales.dtype), mode="drop")
+    v_scales = v_scales.at[layer_idx, page, :, 0, off].set(
+        vs.astype(v_scales.dtype), mode="drop")
+    return k_cache, v_cache, k_scales, v_scales
+
+
+def decode_v4b_int8(q, k_cache, v_cache, k_scales, v_scales,
+                    seq_lens, block_table, layer_idx, sm_scale, page_size):
+    """Attend over the STACKED int8 caches with pass-through aliasing.
+
+    The caches (already containing this step's tokens via
+    scatter_stacked_int8) are declared as aliased outputs the kernel never
+    writes: XLA keeps the scatter in place and hands the same buffers through
+    the scan carry — no defensive copy, no per-layer slice (the 4x-regression
+    failure mode of an UNALIASED stacked-cache kernel, ROADMAP §3), and no
+    sub-sublane write DMAs (Mosaic rejects single-row HBM writes — v5e
+    verified: "slice along dim 3 must be aligned to tiling (8)").
+    Returns (att [B, Hq, D], k_cache, v_cache, k_scales, v_scales).
+    """
+    b, hq, dk = q.shape
+    _, _, hkv, ps, _ = k_cache.shape
+    dv = v_cache.shape[-1]
+    assert ps == page_size
+    g = hq // hkv
+    q4 = q.reshape(b, hkv, g, dk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, g, dk), lambda bb, *_: (bb, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hkv * g, dv), lambda bb, *_: (bb, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, hkv, page_size, dk), k_cache.dtype),
+            pltpu.VMEM((NBUF, hkv, page_size, dv), v_cache.dtype),
+            pltpu.VMEM((NBUF, hkv, 1, page_size), k_scales.dtype),
+            pltpu.VMEM((NBUF, hkv, 1, page_size), v_scales.dtype),
+            pltpu.VMEM((hkv * g, dv), jnp.float32),
+            pltpu.VMEM((hkv * g, 1), jnp.float32),
+            pltpu.VMEM((hkv * g, 1), jnp.float32),
+        ],
+    )
+    att, kc, vc, ks, vs = pl.pallas_call(
+        partial(_kernel_v4b_int8, page_size=page_size, sm_scale=sm_scale,
+                hkv=hkv, g=g),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv * g, dv), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+            jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
+        ],
+        # flat operands: 3 scalars, q4=3, kc=4, vc=5, ks=6, vs=7
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret_mode(),
+    )(seq_lens.astype(jnp.int32), block_table.astype(jnp.int32),
+      jnp.asarray(layer_idx, jnp.int32)[None],
+      q4, k_cache, v_cache, k_scales, v_scales)
+    return att.reshape(b, hq, dv), kc, vc, ks, vs

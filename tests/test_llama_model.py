@@ -291,3 +291,29 @@ def test_prefill_batch_matches_single(rng):
             jnp.array(pos2), jnp.array(slp2), bts,
             jnp.array([7, 4], jnp.int32))
         assert calc_diff(np.asarray(lgb2)[0], np.asarray(lg)) < 2e-3, int8
+
+
+def test_decode_v4b_model_path_matches_v3(monkeypatch, rng):
+    """SKT_DECODE_V4=2 (scatter + aliased pass-through attend) == default."""
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    kv1 = llama.init_kv_cache(cfg, 8)
+    kv2 = jax.tree.map(lambda a: a, kv1)
+    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    b = 2
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    from .utils import calc_diff
+    for step in range(3):
+        seq = jnp.array([step + 1, step + 1], jnp.int32)
+        pos = seq - 1
+        slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
+            + pos % cfg.page_size
+        ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        monkeypatch.delenv("SKT_DECODE_V4", raising=False)
+        lg1, kv1 = llama.decode_step_kv(params, cfg, kv1, ids, pos, seq, bt, slots)
+        monkeypatch.setenv("SKT_DECODE_V4", "2")
+        lg2, kv2 = llama.decode_step_kv(params, cfg, kv2, ids, pos, seq, bt, slots)
+        assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
+        assert np.array_equal(np.asarray(kv1["k"]), np.asarray(kv2["k"]))
+        assert np.array_equal(np.asarray(kv1["ks"]), np.asarray(kv2["ks"]))
