@@ -259,9 +259,19 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
             kv_all = (upd(kv_all[0], kc), upd(kv_all[1], vc))
         return ffn_tail(x, att, lp, kv_all, li)
 
-    (x, kv_cache, _), _ = jax.lax.scan(
-        layer, (x, kv_cache, jnp.int32(0)), params["layers"]
-    )
+    if env.env_bool("SKT_DECODE_UNROLL", False):
+        # Python-unrolled layer loop: static layer indices, no lax.scan.
+        # Escape hatch for XLA:TPU compile pathologies with aliased pallas
+        # custom-calls inside while loops (observed with SKT_DECODE_V4=2).
+        carry = (x, kv_cache, jnp.int32(0))
+        for li_static in range(cfg.num_layers):
+            lp = jax.tree.map(lambda a: a[li_static], params["layers"])
+            carry, _ = layer(carry, lp)
+        x, kv_cache, _ = carry
+    else:
+        (x, kv_cache, _), _ = jax.lax.scan(
+            layer, (x, kv_cache, jnp.int32(0)), params["layers"]
+        )
 
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)

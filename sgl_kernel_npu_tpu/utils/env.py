@@ -27,6 +27,8 @@ Flags (TPU names, reference analogue in parens):
                                  (ref: SGLANG_DEEPEP_BF16_DISPATCH)
   SKT_DECODE_V4                  0|1|2: decode variant (0 v3+scatter,
                                  1 fused in-kernel write, 2 aliased pass-through)
+  SKT_DECODE_UNROLL              bool: unroll the decode layer loop (escape
+                                 hatch for scan+aliasing compile pathologies)
   SKT_LOG_LEVEL                  logging level for the package logger
 """
 
