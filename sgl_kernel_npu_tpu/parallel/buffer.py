@@ -53,6 +53,7 @@ class Buffer:
         self.num_local_experts = num_experts // self.num_ranks
         self.num_max_dispatch_tokens_per_rank = num_max_dispatch_tokens_per_rank
 
+        self._last_notify_counts = None
         n_name, ll_name = env.deep_use_mode()
         self._normal = get_normal_strategy(normal_strategy or n_name)
         self._low_latency = get_low_latency_strategy(low_latency_strategy or ll_name)
@@ -130,7 +131,58 @@ class Buffer:
         out = self._smap(
             fn, in_specs=(self._ep(),), out_specs=tuple([self._ep()] * 6),
         )(topk_idx)
+        self._last_notify_counts = out[0]
         return out
+
+    # ----------------------------------------------- reference API parity
+
+    @staticmethod
+    def set_num_sms(new_num_sms: int) -> None:
+        """Ref: Buffer.set_num_sms (buffer.py:182-192) — sets the SM split for
+        comm kernels. XLA owns TPU core scheduling, so this only updates the
+        Config default (kept for call-site compatibility)."""
+        Config.default_num_sms = int(new_num_sms)
+
+    @staticmethod
+    def capture():
+        """Ref: Buffer.capture (buffer.py:194-202) — records a stream event
+        for graph capture. TPU: ordering is data dependence; returns an empty
+        completion token."""
+        from .event import EventOverlap
+        return EventOverlap()
+
+    @staticmethod
+    def get_low_latency_rdma_size_hint(num_max_dispatch_tokens_per_rank: int,
+                                       hidden: int, num_ranks: int,
+                                       num_experts: int) -> int:
+        """Ref: Buffer.get_low_latency_rdma_size_hint (buffer.py:204-213):
+        bytes of the slotted receive buffer [El, R*maxT, H] (int8 payload +
+        f32 scale per token), for capacity planning parity."""
+        el = num_experts // num_ranks
+        per_token = hidden + 4
+        return int(el * num_ranks * num_max_dispatch_tokens_per_rank * per_token)
+
+    def clean_low_latency_buffer(self, *args, **kwargs) -> None:
+        """Ref: Buffer.clean_low_latency_buffer (buffer.py:264-282) — zeroes
+        the persistent RDMA buffers between phases. TPU: collectives use
+        XLA-managed transient buffers; nothing persists to clean."""
+
+    def get_notify_send_data(self):
+        """Ref: Buffer.get_notify_send_data (buffer.py:254-262): the count
+        matrix a subsequent dispatch would send — per-rank [R] row counts."""
+        return self._last_notify_counts
+
+    def internode_dispatch(self, *args, **kwargs):
+        """Ref: Buffer.internode_dispatch (buffer.py:521-606). On TPU a
+        single dispatch serves both fabrics: ragged collectives ride whatever
+        mesh axis spans the ranks (DCN+ICI staging = the "layered" strategy).
+        Delegates to dispatch()."""
+        return self.dispatch(*args, **kwargs)
+
+    def internode_combine(self, *args, **kwargs):
+        """Ref: Buffer.internode_combine (buffer.py:608-649); see
+        internode_dispatch."""
+        return self.combine(*args, **kwargs)
 
     # ------------------------------------------------------------- normal
 

@@ -18,6 +18,9 @@ from dataclasses import dataclass
 class Config:
     # Pipeline chunk (tokens) for comm/compute overlap in fused paths.
     chunk_tokens: int = 256
+    # Kept for reference call-site compatibility (Buffer.set_num_sms): the
+    # number of comm "lanes"; XLA owns TPU core scheduling.
+    default_num_sms = 24
     # Static worst-case receive factor: a rank receives at most
     # ceil(total_tokens * factor / num_ranks) tokens in normal mode.
     max_recv_factor: float = 2.0

@@ -33,3 +33,26 @@ def test_event_overlap_and_fuse_mode():
     with deep_ep.EventOverlap(extra_tensors=[x]) as ev:
         assert ev.extra_tensors[0] is x
     ev.current_stream_wait()
+
+
+def test_buffer_api_parity_surface():
+    """Every reference Buffer method name resolves and behaves sanely."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from sgl_kernel_npu_tpu.parallel import Buffer
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("ep",))
+    buf = Buffer(mesh, 16)
+    Buffer.set_num_sms(32)
+    ev = Buffer.capture()
+    ev.current_stream_wait()
+    hint = Buffer.get_low_latency_rdma_size_hint(128, 7168, 8, 16)
+    assert hint == 2 * 8 * 128 * (7168 + 4)
+    buf.clean_low_latency_buffer()
+    assert buf.get_notify_send_data() is None
+    import jax.numpy as jnp
+    idx = jnp.zeros((8 * 4, 2), jnp.int32)
+    buf.notify_verify(idx)
+    assert buf.get_notify_send_data() is not None
+    assert callable(buf.internode_dispatch) and callable(buf.internode_combine)
