@@ -23,6 +23,30 @@ import numpy as np
 
 
 def main():
+    """Parse args, run the bench with one retry, ALWAYS print one JSON line.
+
+    A transient tunnel/backend failure must degrade to a diagnostic JSON the
+    driver can record — never a bare rc=1 (that cost round 1 its number)."""
+    args = parse_args()
+    last_err = None
+    for attempt in range(2):
+        try:
+            return run_bench(args)
+        except Exception as e:  # noqa: BLE001 — diagnostic boundary
+            last_err = f"{type(e).__name__}: {e}"
+            sys.stderr.write(f"bench attempt {attempt} failed: {last_err}\n")
+            time.sleep(5)
+    print(json.dumps({
+        "metric": "decode_tokens_per_s_per_chip_llama8b_w8a8",
+        "value": 0.0,
+        "unit": "tokens/s/chip",
+        "vs_baseline": 0.0,
+        "detail": {"error": (last_err or "")[:500]},
+    }))
+    return 0
+
+
+def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny config, fast")
     ap.add_argument("--batch", type=int, default=64)
@@ -36,7 +60,10 @@ def main():
                          "pass-through (SKT_DECODE_V4)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the axon plugin overrides JAX_PLATFORMS)")
-    args = ap.parse_args()
+    return ap.parse_args()
+
+
+def run_bench(args):
     if args.v4:
         os.environ["SKT_DECODE_V4"] = str(args.v4)
     if args.cpu:
@@ -59,8 +86,7 @@ def main():
     max_pages = -(-ctx // page_size)
     num_pages = batch * max_pages + 1
 
-    key = jax.random.PRNGKey(0)
-    params = llama.init_params(cfg, key)
+    params = llama.init_params(cfg, 0)
     kv = llama.init_kv_cache(cfg, num_pages)
 
     rng = np.random.default_rng(0)

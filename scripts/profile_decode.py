@@ -36,7 +36,7 @@ def main():
     ps = cfg.page_size
     max_pages = -(-args.ctx // ps)
     num_pages = args.batch * max_pages + 1
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.init_params(cfg, 0)
     kv = llama.init_kv_cache(cfg, num_pages)
 
     rng = np.random.default_rng(0)

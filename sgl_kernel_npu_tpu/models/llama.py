@@ -38,6 +38,7 @@ from ..ops.attention.decode_v3 import (
     reshape_and_cache_gqa_page_major_int8,
 )
 from ..utils import env, use_pallas
+from ..utils.device import interpret_mode
 from ..ops.quant import per_token_quant_int8
 from ..ops.matmul import quant_matmul_int8_ref
 from ..ops.rope import apply_rope, make_cos_sin_cache
@@ -87,10 +88,23 @@ def _quantize_w(rng, shape, scale=0.02):
     return {"q": w8, "scale": s}
 
 
-def init_params(cfg: LlamaConfig, key) -> Dict[str, Any]:
+def init_params(cfg: LlamaConfig, key=0) -> Dict[str, Any]:
+    """key: plain int seed (preferred) or a jax PRNG key.
+
+    A jax key is hashed on the HOST (never read back from the device: a
+    device->host transfer of an on-device key crashed the round-1 bench on the
+    axon backend). Real deployments load checkpoints; init is numpy-only."""
     import numpy as np
 
-    seed = int(jax.random.key_data(key)[-1]) if hasattr(jax.random, "key_data") else 0
+    if isinstance(key, (int, np.integer)):
+        seed = int(key)
+    else:
+        # Legacy array-key path: reading an on-device key is a device->host
+        # transfer that can fail on tunneled backends — never let it crash.
+        try:
+            seed = int(np.asarray(jax.random.key_data(key))[-1])
+        except Exception:
+            seed = 0
     rng = np.random.default_rng(seed)
     l = cfg.num_layers
 
@@ -214,7 +228,8 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         def upd(full, one):
             return jax.lax.dynamic_update_slice_in_dim(full, one[None], li, 0)
 
-        v4 = env.decode_v4() if (cfg.int8_kv and use_pallas()) else 0
+        v4 = env.decode_v4() if (cfg.int8_kv and use_pallas()
+                                 and (d % 128 == 0 or interpret_mode())) else 0
         if v4 == 1:
             # fused scatter+attend over the ALIASED stacked cache: no per-layer
             # slice copy, no XLA scatter (see ops/attention/decode_v4.py)
@@ -238,17 +253,30 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
 
         kv_l = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
             a, li, 0, keepdims=False), kv_all)
+        # Mosaic lane tiling wants head dim % 128 == 0 when COMPILING (v5e:
+        # D=32 fails "slice along dim 3 must be aligned to tiling (128)");
+        # interpret mode (CPU tests) has no such constraint and keeps the
+        # kernel path so prefill/decode cache numerics stay bitwise identical.
+        tiling_ok = d % 128 == 0 or interpret_mode()
         if cfg.int8_kv:
             kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
                 k, v, kv_l["k"], kv_l["v"], kv_l["ks"], kv_l["vs"], slot_mapping)
-            att = decode_gqa_pallas_v3_int8(q, kc, vc, ks, vs, seq_lens,
-                                            block_table, sm_scale, cfg.page_size)
+            if tiling_ok:
+                att = decode_gqa_pallas_v3_int8(
+                    q, kc, vc, ks, vs, seq_lens, block_table, sm_scale,
+                    cfg.page_size)
+            else:
+                kf = (kc.astype(jnp.float32) * ks[:, :, 0, :, None]).astype(q.dtype)
+                vf = (vc.astype(jnp.float32) * vs[:, :, 0, :, None]).astype(q.dtype)
+                att = decode_gqa_ref(q, kf.transpose(1, 0, 2, 3),
+                                     vf.transpose(1, 0, 2, 3), seq_lens,
+                                     block_table, sm_scale, cfg.page_size)
             kv_all = {"k": upd(kv_all["k"], kc), "v": upd(kv_all["v"], vc),
                       "ks": upd(kv_all["ks"], ks), "vs": upd(kv_all["vs"], vs)}
         else:
             kc, vc = reshape_and_cache_gqa_page_major(k, v, kv_l[0], kv_l[1],
                                                       slot_mapping)
-            if use_pallas():
+            if use_pallas() and tiling_ok:
                 att = decode_gqa_pallas_v3(q, kc, vc, seq_lens, block_table,
                                            sm_scale, cfg.page_size)
             else:
@@ -586,9 +614,7 @@ def decode_step_tp(params_tp, cfg: LlamaConfig, kv_tp, input_ids, positions,
     per-shard caches (init_kv_cache(shard_cfg_tp(cfg, tp), ...) stacked).
     Logits are replicated; the KV pytree stays sharded.
     """
-    from functools import partial as _partial
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     cfg_s = shard_cfg_tp(cfg, mesh.shape[axis])
     tp_spec = jax.tree.map(lambda _: P(axis), params_tp)
@@ -601,11 +627,11 @@ def decode_step_tp(params_tp, cfg: LlamaConfig, kv_tp, input_ids, positions,
                                     tp_axis=axis)
         return logits, jax.tree.map(lambda a: a[None], kv)
 
-    fn = shard_map(
+    fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(tp_spec, kv_spec, P(), P(), P(), P(), P()),
         out_specs=(P(), kv_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params_tp, kv_tp, input_ids, positions, seq_lens, block_table,
               slot_mapping)

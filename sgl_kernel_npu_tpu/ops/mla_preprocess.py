@@ -53,7 +53,10 @@ class MlaPreprocessOut(NamedTuple):
     q_pe: jax.Array         # [N, H, 64]
     kv_cache: jax.Array     # updated ctkv (or combined) cache
     krope_cache: Optional[jax.Array]
-    q_scale: Optional[jax.Array]  # per-token q scales (per_token quant mode)
+    q_scale: Optional[jax.Array]  # always None: per-token activation scales
+    # are folded into the f32 dequant before RoPE/EinSum in this composition
+    # (no downstream op needs them); field kept for the reference's
+    # output-tuple arity (mla_preprocess/README.md output list).
 
 
 def _rms(x32, gamma, eps=1e-6):

@@ -72,6 +72,7 @@ class DispatchResult:
     recv_count: Any                # [] total valid rows
     recv_tokens_per_expert: Any    # [E/R] counts for my local experts
     handle: DispatchHandle
+    overflow: Any = False          # [] bool: arrivals exceeded rbuf (rows dropped)
 
 
 def _exclusive_cumsum(x, axis=0):
@@ -116,20 +117,32 @@ class DefaultNormalCommStrategy(NormalEPCommStrategy):
         # Count exchange (== aclnnNotifyDispatch): RxR matrix via all_gather.
         m = jax.lax.all_gather(send_counts, axis_name)            # [R, R]
         input_offsets = _exclusive_cumsum(send_counts)            # [R]
-        output_offsets = _exclusive_cumsum(m, axis=0)[me, :]      # my row offsets at receivers... see below
+        col_cum = _exclusive_cumsum(m, axis=0)                    # [R, R]
+        output_offsets = col_cum[me, :]                           # my row offsets at receivers... see below
         # output_offsets[j] = sum_{i<me} M[i, j]: where my block starts in j's buffer.
         recv_sizes = m[:, me]                                     # [R]
-        recv_offsets = _exclusive_cumsum(recv_sizes)
 
         # True worst case is r*t rows (every rank sends its full batch here);
         # capacity_factor trades memory for drop-resistance below that cap.
         rbuf = min(max(int(sbuf * capacity_factor), sbuf), r * t)
 
+        # Overflow safety (skewed routing with k < r can exceed rbuf): cap
+        # per-sender offsets/sizes IN-GRAPH so ragged_all_to_all never writes
+        # out of range, and surface the drop via DispatchResult.overflow. The
+        # reference sizes outputs exactly (deep_ep.cpp:298-303 .item() syncs);
+        # static shapes can't, so the contract is capacity + explicit flag.
+        cap = jnp.int32(rbuf)
+        output_offsets = jnp.minimum(output_offsets, cap)
+        send_sizes_capped = jnp.minimum(send_counts, cap - output_offsets)
+        arrive_cum = jnp.minimum(col_cum[:, me], cap)
+        recv_sizes_capped = jnp.minimum(recv_sizes, cap - arrive_cum)
+        overflow = jnp.sum(recv_sizes) > cap
+
         def ra2a(payload, fill=0):
             out = jnp.full((rbuf,) + payload.shape[1:], fill, payload.dtype)
             return ragged_all_to_all(
-                payload, out, input_offsets, send_counts, output_offsets,
-                recv_sizes, axis_name=axis_name,
+                payload, out, input_offsets, send_sizes_capped, output_offsets,
+                recv_sizes_capped, axis_name=axis_name,
             )
 
         recv_x = ra2a(send_x)
@@ -140,7 +153,7 @@ class DefaultNormalCommStrategy(NormalEPCommStrategy):
         # Receiver-side masking: keep only my local experts.
         local_lo = me * el
         is_local = (recv_idx >= local_lo) & (recv_idx < local_lo + el)
-        recv_count = jnp.sum(recv_sizes)
+        recv_count = jnp.sum(recv_sizes_capped)
         row_valid = jnp.arange(rbuf) < recv_count
         recv_topk_idx = jnp.where(is_local & row_valid[:, None], recv_idx, -1)
         recv_topk_weights = jnp.where(recv_topk_idx >= 0, recv_w, 0.0)
@@ -150,17 +163,19 @@ class DefaultNormalCommStrategy(NormalEPCommStrategy):
             jax.nn.one_hot(local_ids, el + 1, dtype=jnp.int32), axis=(0, 1)
         )[:el]
 
+        # Capped sizes in the handle keep combine's reverse transfer consistent
+        # with what actually landed (first-n-rows-of-block semantics).
         handle = DispatchHandle(
             send_slot_token=send_token, send_valid=send_valid,
-            send_counts=send_counts, input_offsets=input_offsets,
-            output_offsets=output_offsets, recv_sizes=recv_sizes,
-            recv_offsets=recv_offsets, num_tokens=t, topk=k, sbuf=sbuf, rbuf=rbuf,
+            send_counts=send_sizes_capped, input_offsets=input_offsets,
+            output_offsets=output_offsets, recv_sizes=recv_sizes_capped,
+            recv_offsets=arrive_cum, num_tokens=t, topk=k, sbuf=sbuf, rbuf=rbuf,
         )
         return DispatchResult(
             recv_x=recv_x, recv_x_scales=recv_scales,
             recv_topk_idx=recv_topk_idx, recv_topk_weights=recv_topk_weights,
             recv_count=recv_count, recv_tokens_per_expert=recv_tokens_per_expert,
-            handle=handle,
+            handle=handle, overflow=overflow,
         )
 
     def combine(self, x, handle, topk_weights, *, axis_name, config=None):
@@ -281,19 +296,26 @@ class AllToAllNormalCommStrategy(DefaultNormalCommStrategy):
         order_s = jnp.argsort(prio_s.reshape(-1), stable=True)[:sbuf]
         send_valid = jnp.take_along_axis(prio_s.reshape(-1), order_s, 0) < BIG
         send_token = jnp.where(send_valid, order_s % t, t)
+        # Same overflow capping as the default strategy: combine's reverse
+        # ragged transfer must never index past the rbuf-row buffer.
+        cap = jnp.int32(rbuf)
+        out_off = jnp.minimum(_exclusive_cumsum(m, axis=0)[me, :], cap)
+        arr_cum = jnp.minimum(_exclusive_cumsum(recv_sizes), cap)
         handle = DispatchHandle(
             send_slot_token=send_token, send_valid=send_valid,
-            send_counts=send_counts,
+            send_counts=jnp.minimum(send_counts, cap - out_off),
             input_offsets=_exclusive_cumsum(send_counts),
-            output_offsets=_exclusive_cumsum(m, axis=0)[me, :],
-            recv_sizes=recv_sizes, recv_offsets=_exclusive_cumsum(recv_sizes),
+            output_offsets=out_off,
+            recv_sizes=jnp.minimum(recv_sizes, cap - arr_cum),
+            recv_offsets=arr_cum,
             num_tokens=t, topk=k, sbuf=sbuf, rbuf=rbuf,
         )
         return DispatchResult(
             recv_x=recv_x, recv_x_scales=recv_scales,
             recv_topk_idx=recv_topk_idx, recv_topk_weights=recv_topk_weights,
-            recv_count=jnp.sum(recv_sizes),
+            recv_count=jnp.minimum(jnp.sum(recv_sizes), rbuf),
             recv_tokens_per_expert=recv_tokens_per_expert, handle=handle,
+            overflow=jnp.sum(recv_sizes) > rbuf,
         )
 
 

@@ -25,7 +25,8 @@ from .runtime import make_scheduler
 class LlamaEngine:
     def __init__(self, cfg: llama.LlamaConfig, params=None, num_pages: int = 256,
                  decode_batch: int = 8, token_budget: int = 256, seed: int = 0,
-                 temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0):
+                 temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+                 max_pages: int | None = None):
         self.cfg = cfg
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self._sample_key = jax.random.PRNGKey(seed ^ 0x5EED)
@@ -33,7 +34,11 @@ class LlamaEngine:
                                     token_budget=token_budget)
         self.decode_batch = decode_batch
         self.reqs: Dict[int, dict] = {}
-        self.max_pages = 32
+        # Block tables are padded to max_pages for a single decode compile;
+        # admission asserts a request fits (a truncated table would silently
+        # attend over wrong pages). Default bounds the per-request table at
+        # the whole pool (no request can exceed it).
+        self.max_pages = min(32, num_pages) if max_pages is None else max_pages
         self._setup_model(cfg, params, num_pages, seed)
 
     def _setup_model(self, cfg, params, num_pages, seed):
@@ -41,7 +46,7 @@ class LlamaEngine:
         `_decode(p, kv, ids, pos, seq, bt, slots) -> (logits [B, V], kv)` and
         `_prefill_batch(p, kv, ids, vl, pos, slots, bts, plens)
          -> (logits [S, T, V], kv)`. Subclasses adapt other model families."""
-        self.params = params or llama.init_params(cfg, jax.random.PRNGKey(seed))
+        self.params = params or llama.init_params(cfg, seed)
         self.kv = llama.init_kv_cache(cfg, num_pages)
         lora = "lora_wo_A" in self.params["layers"]
         self._decode = jax.jit(
@@ -73,8 +78,24 @@ class LlamaEngine:
                      * self.cfg.page_size)
         cached_pages = cached_pages[: usable // self.cfg.page_size]
         self.sched.retain_pages(cached_pages)
-        need = -(-(len(tokens) + max_new_tokens) // self.cfg.page_size)             - len(cached_pages)
-        pages = cached_pages + self.sched.alloc_pages(need)
+        total_pages = -(-(len(tokens) + max_new_tokens) // self.cfg.page_size)
+        if total_pages > self.max_pages:
+            self.sched.release_pages(cached_pages)
+            self.sched.finish_request(rid)
+            raise ValueError(
+                f"request needs {total_pages} pages > max_pages="
+                f"{self.max_pages}; raise max_pages (ctor) or shorten the "
+                f"request — a truncated block table would corrupt attention")
+        need = total_pages - len(cached_pages)
+        fresh = self.sched.alloc_pages(need)
+        if len(fresh) < need:
+            # page-pool exhaustion: reject cleanly (caller may retry later)
+            # instead of admitting with a short table and crashing mid-step.
+            self.sched.release_pages(fresh + cached_pages)
+            self.sched.finish_request(rid)
+            raise RuntimeError(
+                f"KV page pool exhausted: need {need} pages, got {len(fresh)}")
+        pages = cached_pages + fresh
         self.reqs[rid] = {"tokens": list(tokens), "out": [], "pages": pages,
                           "len": usable, "max_new": max_new_tokens,
                           "cached": usable,

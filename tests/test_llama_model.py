@@ -50,7 +50,7 @@ def test_prefill_decode_consistency(rng):
 
 def test_decode_step_batch(rng):
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    params = llama.init_params(cfg, 1)
     b, num_pages, mp = 4, 32, 4
     kc, vc = llama.init_kv_cache(cfg, num_pages)
     bt = jnp.array(rng.permutation(num_pages - 1)[: b * mp].reshape(b, mp) + 1, jnp.int32)
@@ -73,7 +73,7 @@ def test_decode_step_int8_kv(rng):
     """INT8 KV cache decode tracks the bf16-KV decode closely."""
     cfg8 = llama.tiny_config(int8_kv=True)
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    params = llama.init_params(cfg, 3)
     b, num_pages, mp = 2, 16, 3
     kv8 = llama.init_kv_cache(cfg8, num_pages)
     kc, vc = llama.init_kv_cache(cfg, num_pages)
@@ -92,7 +92,7 @@ def test_decode_step_int8_kv(rng):
 
 def test_chunked_prefill_matches_single_shot(rng):
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    params = llama.init_params(cfg, 5)
     n = 20
     tokens = jnp.array(rng.integers(0, cfg.vocab_size, n), jnp.int32)
     bt = jnp.arange(1, 4, dtype=jnp.int32)   # 3 pages (page 16 -> 48 slots)
@@ -122,7 +122,7 @@ def test_decode_verify_step_linear_chain_matches_sequential(rng):
     from sgl_kernel_npu_tpu.ops import speculative as spec
 
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(9))
+    params = llama.init_params(cfg, 9)
     n, dt = 7, 3
     tokens = jnp.array(rng.integers(0, cfg.vocab_size, n + dt), jnp.int32)
     bt = jnp.array([[1, 2, 3]], jnp.int32)
@@ -175,7 +175,7 @@ def test_decode_v4_model_path_matches_v3(monkeypatch, rng):
     """SKT_DECODE_V4 + pallas: the fused-kernel decode step produces the same
     logits and cache as the scatter+v3 path."""
     cfg = llama.tiny_config(int8_kv=True)
-    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    params = llama.init_params(cfg, 2)
     kv1 = llama.init_kv_cache(cfg, 8)
     kv2 = jax.tree.map(lambda a: a, kv1)
     bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
@@ -204,7 +204,7 @@ def test_decode_step_tp_matches_single_device(rng):
     from jax.sharding import Mesh
 
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(4))
+    params = llama.init_params(cfg, 4)
     tp = 4
     mesh = Mesh(np.array(jax.devices()[:tp]), ("tp",))
     params_tp = llama.shard_params_tp(params, cfg, tp)
@@ -232,7 +232,7 @@ def test_prefill_batch_matches_single(rng):
     including a second chunk with a non-zero prefix."""
     for int8 in (False, True):
         cfg = llama.tiny_config(int8_kv=int8)
-        params = llama.init_params(cfg, jax.random.PRNGKey(6))
+        params = llama.init_params(cfg, 6)
         lens = [7, 4]
         bts = jnp.array([[1, 2, 0], [3, 4, 0]], jnp.int32)
         toks = [list(rng.integers(0, cfg.vocab_size, n)) for n in lens]
@@ -296,7 +296,7 @@ def test_prefill_batch_matches_single(rng):
 def test_decode_v4b_model_path_matches_v3(monkeypatch, rng):
     """SKT_DECODE_V4=2 (scatter + aliased pass-through attend) == default."""
     cfg = llama.tiny_config(int8_kv=True)
-    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    params = llama.init_params(cfg, 2)
     kv1 = llama.init_kv_cache(cfg, 8)
     kv2 = jax.tree.map(lambda a: a, kv1)
     bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)

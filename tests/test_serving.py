@@ -11,7 +11,7 @@ from sgl_kernel_npu_tpu.serving import LlamaEngine
 
 def test_engine_generates_and_matches_unbatched(rng):
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.init_params(cfg, 0)
     prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (5, 9, 3)]
 
     eng = LlamaEngine(cfg, params=params, num_pages=64, decode_batch=4,
@@ -39,7 +39,7 @@ def test_engine_chunked_prefill_long_prompt(rng):
     """Prompt longer than the token budget: multiple prefill chunks, identical
     output to a large-budget single-chunk engine."""
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    params = llama.init_params(cfg, 2)
     prompt = list(rng.integers(0, cfg.vocab_size, 30))
 
     big = LlamaEngine(cfg, params=params, num_pages=64, token_budget=64)
@@ -54,7 +54,7 @@ def test_engine_prefix_cache_reuse(rng):
     """Second request sharing a long prefix skips cached prefill and produces
     identical greedy output."""
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.init_params(cfg, 0)
     shared = list(rng.integers(0, cfg.vocab_size, 2 * cfg.page_size))  # 2 pages
     p1 = shared + [7, 8]
     p2 = shared + [9, 10, 11]
@@ -78,8 +78,8 @@ def test_speculative_generate_lossless():
     from sgl_kernel_npu_tpu.serving import speculative_generate
 
     cfg = llama.tiny_config()
-    t_params = llama.init_params(cfg, jax.random.PRNGKey(0))
-    d_params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    t_params = llama.init_params(cfg, 0)
+    d_params = llama.init_params(cfg, 1)
     prompt = [3, 1, 4, 1, 5, 9, 2, 6]
     mnt = 10
 
@@ -104,7 +104,7 @@ def test_int8_kv_prefill_matches_decode_path_cache():
     runs end-to-end in the bench's int8-kv config."""
     import numpy as np
     cfg = llama.tiny_config(int8_kv=True)
-    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    params = llama.init_params(cfg, 3)
     n = 9
     rng = np.random.default_rng(5)
     toks = list(rng.integers(0, cfg.vocab_size, n))
@@ -143,7 +143,7 @@ def test_engine_sampling_mode(rng):
     """temperature>0 engine produces valid tokens and stays deterministic for
     a fixed seed; greedy default unchanged."""
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.init_params(cfg, 0)
     prompts = [[1, 2, 3, 4], [9, 8, 7]]
 
     e1 = LlamaEngine(cfg, params=params, decode_batch=2, seed=7,
@@ -166,7 +166,7 @@ def test_pause_resume_preemption():
     """Pause mid-generation (KV offloaded to host, pages freed), let another
     request churn the pool, resume: output identical to uninterrupted greedy."""
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.init_params(cfg, 0)
     prompt = [3, 1, 4, 1, 5, 9]
 
     eng0 = LlamaEngine(cfg, params=params, decode_batch=2, num_pages=16)
@@ -200,7 +200,7 @@ def test_stop_tokens_and_grammar_bitmask(rng):
     """Per-request stop tokens end generation early; a packed vocab bitmask
     (ops.grammar contract) constrains every sampled token."""
     cfg = llama.tiny_config()
-    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    params = llama.init_params(cfg, 0)
     prompt = [3, 1, 4, 1, 5]
 
     # find what greedy would emit, then stop on its 3rd token
@@ -280,7 +280,7 @@ def test_multi_lora_serving(rng):
     """Per-request adapters: requests with different lora_ids in one batch get
     different outputs; lora_id=-1 matches the no-adapter baseline exactly."""
     cfg = llama.tiny_config()
-    base = llama.init_params(cfg, jax.random.PRNGKey(0))
+    base = llama.init_params(cfg, 0)
     params = llama.add_lora_adapters(base, cfg, num_adapters=2, rank=4,
                                      seed=3, scale=0.3)
     prompt = [3, 1, 4, 1, 5]
@@ -305,7 +305,7 @@ def test_lora_requests_do_not_share_prefix_cache(rng):
     """A page-spanning prompt cached by a base request must NOT be reused for
     a LoRA request (adapter changes hidden states), and vice versa."""
     cfg = llama.tiny_config()
-    base = llama.init_params(cfg, jax.random.PRNGKey(0))
+    base = llama.init_params(cfg, 0)
     params = llama.add_lora_adapters(base, cfg, num_adapters=1, rank=4,
                                      seed=3, scale=0.3)
     prompt = list(rng.integers(0, cfg.vocab_size, 2 * cfg.page_size + 3))
