@@ -1,41 +1,46 @@
 """Pallas ICI low-latency dispatch/combine — the custom-kernel tier.
 
-STATUS: EXPERIMENTAL. The wire protocol (sender-side chunked remote DMA +
-receiver-side descriptor waits) follows real-TPU semaphore semantics, but this
-round's environment has a single TPU chip, and Pallas interpret mode executes
-devices sequentially with sender-local DMA semaphore accounting — asymmetric
-RDMA traffic cannot be validated there (verified empirically: late writes to
-already-snapshotted peers are lost). The `default` ragged-collective strategy
-remains the production tier; this kernel is the scaffold to validate and tune
-on a real multi-chip slice (round 2+).
+STATUS: kernel pair complete (dispatch + combine); validated in interpret mode
+(symmetric multi-dev + asymmetric 1-device loopback) and single-chip loopback
+on the real TPU. The data-dependent chunk-count protocol (the real design)
+runs whenever the mesh axis is 1 device (self-targeted remote DMA exercises
+descriptors/semaphores without a slice) and on real multi-chip slices; the
+multi-device interpret fallback pads to symmetric traffic because interpret
+mode accounts DMA semaphores sender-locally.
 
 Reference parity: the optimized tier of the strategy stack
-(DefaultLowLatencyCommStrategy's aclnnMoeLowLatencyDispatchV2 custom kernels,
-csrc/deepep/ops/op_kernel/moe_distribute_dispatch_v2.h): tokens are written
-DIRECTLY into peer receive windows and receivers spin on flags. On TPU the
-peer window is the remote output buffer, the write is
-`pltpu.make_async_remote_copy`, and the flag protocol is semaphores — the
-equivalence called out in SURVEY.md §5 ("HCCS window + flag protocol ≈ Pallas
-ICI remote_copy + semaphore signaling").
+(DefaultLowLatencyCommStrategy's aclnnMoeLowLatencyDispatchV2/
+aclnnMoeLowLatencyCombineV2 custom kernels,
+csrc/deepep/ops/op_kernel/moe_distribute_dispatch_v2.h and
+moe_distribute_combine_v2.h): tokens are written DIRECTLY into peer receive
+windows and receivers spin on flags. On TPU the peer window is the remote
+output buffer, the write is `pltpu.make_async_remote_copy`, and the flag
+protocol is semaphores — the equivalence called out in SURVEY.md §5 ("HCCS
+window + flag protocol ≈ Pallas ICI remote_copy + semaphore signaling").
 
-Protocol per rank (one pallas_call inside shard_map):
-  1. metadata: remote-write my per-(dst-rank, expert) count row into every
-     receiver's counts buffer (== aclnnNotifyDispatch), signal its barrier.
-  2. payload: for each (dst, expert) slice, stream my tokens in fixed-size
-     row chunks into the destination slot region [e, me*maxT + i] of the
-     receiver's [El, R*maxT, H] buffer (chunked so slice sizes stay static
-     while the chunk COUNT is data-dependent — the raggedness lives in the
-     number of DMAs, like the reference's per-token UB writes).
-  3. receivers wait for all count rows, derive how many payload chunks to
-     expect, and wait the data semaphore up to that count.
+Protocol per rank (ONE pallas_call inside shard_map, payload + scales in the
+same launch):
+  1. metadata: per-(dst-rank, expert) count matrix exchanged via a tiny XLA
+     all_to_all (== aclnnNotifyDispatch).
+  2. payload: for each (dst, slice), stream rows in fixed-size CHUNK-row
+     remote DMAs into the destination's slot region (chunked so slice sizes
+     stay static while the chunk COUNT is data-dependent — the raggedness
+     lives in the number of DMAs, like the reference's per-token UB writes).
+  3. receivers derive how many payload chunks to expect from the count
+     exchange and wait the recv semaphore down to that count.
 
-The same [El, R*maxT, H] output contract as strategies/low_latency.py, so the
-XLA-collective tier is the drop-in oracle for this kernel.
+Both directions are instances of one generic "chunked ragged remote scatter":
+  dispatch: my chunk-aligned send buffer -> peer [El, R*maxT, H] slot regions
+  combine:  my [El, R*maxT, H] expert outputs -> peer chunk-aligned buffers,
+            then weighted-sum at the source (ref: weighted sum in
+            MoeLowLatencyCombine, BF16) — the reverse wiring, same kernel.
 """
 
 from __future__ import annotations
 
+
 from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -55,37 +60,43 @@ from .low_latency import (
 CHUNK = 8  # rows per payload DMA
 
 
-def _dispatch_kernel(
-    counts_ref, offsets_ref, recv_counts_ref,   # scalar prefetch
-    x_send_ref,                                 # [SBUF, H] send payload (ANY)
-    recv_ref,                                   # output [El*R*maxT, H] (ANY)
-    chunk_buf, local_sem, send_sem, recv_sem,
-    *, num_ranks, num_local_experts, max_tokens, h, axis_name, symmetric,
+def _scatter_kernel(
+    send_cnt_ref, src_off_ref, dst_off_ref, wait_cnt_ref,   # scalar prefetch
+    x_ref, s_ref,                 # payloads (ANY): [SRC_ROWS, H], [SRC_ROWS, 1]
+    out_ref, s_out_ref,           # outputs  (ANY): [DST_ROWS, H], [DST_ROWS, 1]
+    chunk_buf, s_chunk_buf, local_sem, s_local_sem,
+    send_sem, recv_sem, s_send_sem, s_recv_sem,
+    *, num_ranks, slices_per_rank, symmetric, sym_chunks, with_scales,
 ):
-    r, el, maxt = num_ranks, num_local_experts, max_tokens
-    me = jax.lax.axis_index(axis_name)
+    """Generic chunked ragged remote scatter (see module docstring).
+
+    Slice i (i = dst_rank * slices_per_rank + slice) moves
+    send_cnt[i] rows from x[src_off[i]:] into dst_rank's out[dst_off[i]:] in
+    CHUNK-row remote DMAs; receivers wait cdiv(wait_cnt[i], CHUNK) arrivals
+    per slice. Scales (optional) ride the same loop on their own semaphores.
+    """
+    spr = slices_per_rank
+
+    def n_chunks(cnt):
+        return sym_chunks if symmetric else pl.cdiv(cnt, CHUNK)
 
     # --- sender: stream my slices into each receiver's slot regions.
     def per_slice(i, _):
-        dst = i // el
-        e = jax.lax.rem(i, el)
-        cnt = counts_ref[i]
-        off = offsets_ref[i]
-        # symmetric mode (interpret-test only): every slice moves its full
-        # padded region so per-rank byte counts match — interpret-mode DMA
-        # semaphores account sender-locally and desync on ragged traffic.
-        n_chunks = (max_tokens + CHUNK - 1) // CHUNK if symmetric else pl.cdiv(cnt, CHUNK)
+        dst = i // spr
+        cnt = send_cnt_ref[i]
+        src_off = src_off_ref[i]
+        dst_off = dst_off_ref[i]
 
         def per_chunk(c, __):
-            src0 = off + c * CHUNK
-            dst0 = e * (r * maxt) + me * maxt + c * CHUNK
+            src0 = src_off + c * CHUNK
+            dst0 = dst_off + c * CHUNK
             stage = pltpu.make_async_copy(
-                x_send_ref.at[pl.ds(src0, CHUNK), :], chunk_buf, local_sem)
+                x_ref.at[pl.ds(src0, CHUNK), :], chunk_buf, local_sem)
             stage.start()
             stage.wait()
             rdma = pltpu.make_async_remote_copy(
                 src_ref=chunk_buf,
-                dst_ref=recv_ref.at[pl.ds(dst0, CHUNK), :],
+                dst_ref=out_ref.at[pl.ds(dst0, CHUNK), :],
                 send_sem=send_sem,
                 recv_sem=recv_sem,
                 device_id=dst,
@@ -93,75 +104,151 @@ def _dispatch_kernel(
             )
             rdma.start()
             rdma.wait_send()
+            if with_scales:
+                s_stage = pltpu.make_async_copy(
+                    s_ref.at[pl.ds(src0, CHUNK), :], s_chunk_buf, s_local_sem)
+                s_stage.start()
+                s_stage.wait()
+                s_rdma = pltpu.make_async_remote_copy(
+                    src_ref=s_chunk_buf,
+                    dst_ref=s_out_ref.at[pl.ds(dst0, CHUNK), :],
+                    send_sem=s_send_sem,
+                    recv_sem=s_recv_sem,
+                    device_id=dst,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                s_rdma.start()
+                s_rdma.wait_send()
             return __
 
-        jax.lax.fori_loop(0, n_chunks, per_chunk, 0)
+        jax.lax.fori_loop(0, n_chunks(cnt), per_chunk, 0)
         return _
 
-    jax.lax.fori_loop(0, r * el, per_slice, 0)
+    jax.lax.fori_loop(0, num_ranks * spr, per_slice, 0)
 
-    # --- receiver: wait the exact chunks announced by the (XLA-side) count
-    # exchange, via receiver-constructed descriptors (the flag protocol).
+    # --- receiver: wait the exact chunks announced by the count exchange,
+    # via receiver-constructed descriptors (the flag protocol).
     def wait_slice(i, _):
-        src = i // el
-        e = jax.lax.rem(i, el)
-        cnt = recv_counts_ref[i]
-        n_chunks = (max_tokens + CHUNK - 1) // CHUNK if symmetric else pl.cdiv(cnt, CHUNK)
+        src = i // spr
+        cnt = wait_cnt_ref[i]
 
         def wait_chunk(c, __):
-            dst0 = e * (r * maxt) + src * maxt + c * CHUNK
             pltpu.make_async_remote_copy(
-                src_ref=chunk_buf, dst_ref=recv_ref.at[pl.ds(dst0, CHUNK), :],
+                src_ref=chunk_buf, dst_ref=out_ref.at[pl.ds(0, CHUNK), :],
                 send_sem=send_sem, recv_sem=recv_sem,
                 device_id=src, device_id_type=pltpu.DeviceIdType.LOGICAL,
             ).wait_recv()
+            if with_scales:
+                pltpu.make_async_remote_copy(
+                    src_ref=s_chunk_buf,
+                    dst_ref=s_out_ref.at[pl.ds(0, CHUNK), :],
+                    send_sem=s_send_sem, recv_sem=s_recv_sem,
+                    device_id=src, device_id_type=pltpu.DeviceIdType.LOGICAL,
+                ).wait_recv()
             return __
 
-        jax.lax.fori_loop(0, n_chunks, wait_chunk, 0)
+        jax.lax.fori_loop(0, n_chunks(cnt), wait_chunk, 0)
         return _
 
-    jax.lax.fori_loop(0, r * el, wait_slice, 0)
+    jax.lax.fori_loop(0, num_ranks * spr, wait_slice, 0)
 
 
-def _pallas_dispatch(x_send, counts, offsets, recv_counts, *, num_ranks,
-                     num_local_experts, max_tokens, axis_name="ep",
-                     symmetric=False):
-    sbuf, h = x_send.shape
-    r, el, maxt = num_ranks, num_local_experts, max_tokens
-    out_rows = el * r * maxt
-    recv = pl.pallas_call(
-        partial(_dispatch_kernel, num_ranks=r, num_local_experts=el,
-                max_tokens=maxt, h=h, axis_name=axis_name, symmetric=symmetric),
+def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
+                    num_ranks, slices_per_rank, out_rows, symmetric,
+                    sym_chunks, collective_id=0):
+    """One launch of the generic kernel. scales may be None.
+
+    Returns (out [out_rows, H], s_out [out_rows, 1] | None)."""
+    src_rows, h = x.shape
+    with_scales = scales is not None
+    if not with_scales:
+        # dummy 1-col stream so the kernel signature is static
+        scales = jnp.zeros((src_rows, 1), jnp.float32)
+
+    out, s_out = pl.pallas_call(
+        partial(_scatter_kernel, num_ranks=num_ranks,
+                slices_per_rank=slices_per_rank, symmetric=symmetric,
+                sym_chunks=sym_chunks, with_scales=with_scales),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[
-                pltpu.VMEM((CHUNK, h), x_send.dtype),
+                pltpu.VMEM((CHUNK, h), x.dtype),
+                pltpu.VMEM((CHUNK, 1), scales.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((out_rows, h), x_send.dtype),
+        out_shape=[jax.ShapeDtypeStruct((out_rows, h), x.dtype),
+                   jax.ShapeDtypeStruct((out_rows, 1), scales.dtype)],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=0,
+            has_side_effects=True, collective_id=collective_id,
         ),
         interpret=interpret_mode(),
-    )(counts.reshape(-1).astype(jnp.int32), offsets.astype(jnp.int32),
-      recv_counts.reshape(-1).astype(jnp.int32), x_send)
-    return recv
+    )(send_cnt.reshape(-1).astype(jnp.int32),
+      src_off.reshape(-1).astype(jnp.int32),
+      dst_off.reshape(-1).astype(jnp.int32),
+      wait_cnt.reshape(-1).astype(jnp.int32),
+      x, scales)
+    return out, (s_out if with_scales else None)
+
+
+def _use_symmetric(axis_name):
+    """Real asymmetric protocol needs either a real TPU slice or a 1-device
+    axis (self-targeted remote DMA is sound even in interpret mode — there is
+    only one device, so sender-local semaphore accounting IS global)."""
+    from ...utils import on_tpu
+    if on_tpu():
+        return False
+    try:
+        return jax.lax.axis_size(axis_name) > 1
+    except NameError:
+        return True
+
+
+def _aligned_layout(counts_flat, input_offsets, tk, r, el, maxt, symmetric):
+    """Chunk-aligned send-buffer layout, derivable from the count matrix alone
+    (so combine can reconstruct it from the base handle — no extra fields).
+
+    Returns (aligned_offsets [R*El], aligned_pos [tk] slot->row (sbuf =
+    invalid), sbuf static)."""
+    maxt_pad = ((maxt + CHUNK - 1) // CHUNK) * CHUNK
+    if symmetric:
+        aligned_sizes = jnp.full((r * el,), maxt_pad, jnp.int32)
+        sbuf = r * el * maxt_pad
+    else:
+        aligned_sizes = ((counts_flat + CHUNK - 1) // CHUNK) * CHUNK
+        sbuf = tk + r * el * (CHUNK - 1) + CHUNK
+    aligned_offsets = _exclusive_cumsum(aligned_sizes)
+    # slot -> owning slice: slot s belongs to slice i iff
+    # input_offsets[i] <= s < input_offsets[i] + counts[i].
+    slot_ids = jnp.arange(tk)
+    slice_of_slot = jnp.searchsorted(
+        jnp.cumsum(counts_flat), slot_ids, side="right")
+    slice_c = jnp.clip(slice_of_slot, 0, r * el - 1)
+    total = jnp.sum(counts_flat)
+    aligned_pos = jnp.where(
+        slot_ids < total,
+        aligned_offsets[slice_c] + (slot_ids - input_offsets[slice_c]),
+        sbuf)
+    return aligned_offsets, aligned_pos, sbuf
 
 
 @register_low_latency_strategy("pallas")
 class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
     """Custom-kernel tier: direct remote writes + semaphore flags.
 
-    Routing/sorting stays in XLA (it is compute, not comm); the kernel owns
-    the wire protocol. Combine currently reuses the ragged-collective path
-    (reverse direction is bandwidth-symmetric); a fused combine kernel is the
-    next tier.
+    Routing/sorting stays in XLA (it is compute, not comm); the kernels own
+    the wire protocol in both directions. Payload and per-token scales ride
+    ONE launch (the round-1 scaffold launched twice on the latency path).
     """
 
     def low_latency_dispatch(self, x, topk_idx, *, axis_name, num_experts,
@@ -178,6 +265,10 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         el = num_experts // r
         maxt = num_max_dispatch_tokens_per_rank
         assert t <= maxt
+        # chunked writes land in maxt-strided recv slot regions; the last
+        # chunk of a full slice must not spill into the next region
+        assert maxt % CHUNK == 0 or maxt < CHUNK, \
+            f"maxt={maxt} must be CHUNK({CHUNK})-aligned (or < CHUNK)"
         tk = t * k
 
         key, _ok = _route_copies(topk_idx, r, el)
@@ -188,8 +279,7 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
             jnp.where(sorted_key < r * el, order, tk)
         ].set(jnp.arange(tk, dtype=jnp.int32), mode="drop")[:tk]
 
-        from ...utils import on_tpu
-        symmetric = not on_tpu()
+        symmetric = _use_symmetric(axis_name)
 
         counts = jnp.sum(jax.nn.one_hot(key, r * el + 1, dtype=jnp.int32),
                          axis=0)[: r * el].reshape(r, el)
@@ -197,13 +287,9 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         # chunk-align each slice's send region so fixed-size chunk DMAs never
         # leak another slice's rows: place slice i at offset aligned to CHUNK.
         maxt_pad = ((maxt + CHUNK - 1) // CHUNK) * CHUNK
-        if symmetric:
-            aligned_sizes = jnp.full((r * el,), maxt_pad, jnp.int32)
-        else:
-            aligned_sizes = ((counts.reshape(-1) + CHUNK - 1) // CHUNK) * CHUNK
-        aligned_offsets = _exclusive_cumsum(aligned_sizes)
-        sbuf = (r * el * maxt_pad if symmetric
-                else tk + r * el * (CHUNK - 1) + CHUNK)
+        sym_chunks = maxt_pad // CHUNK
+        aligned_offsets, _apos, sbuf = _aligned_layout(
+            counts.reshape(-1), input_offsets, tk, r, el, maxt, symmetric)
 
         tok = jnp.where(copy_of_slot < tk, copy_of_slot // k, 0)
         if quant_mode == "int8":
@@ -215,32 +301,28 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
             scales = None
 
         # scatter compacted slices to chunk-aligned layout
-        slot_ids = jnp.arange(tk)
-        slice_id = jnp.clip(sorted_key, 0, r * el - 1)
-        within = slot_ids - input_offsets[slice_id]
-        aligned_pos = jnp.where(sorted_key < r * el,
-                                aligned_offsets[slice_id] + within, sbuf)
+        aligned_pos = _apos
         x_send = jnp.zeros((sbuf + 1, h), payload.dtype).at[aligned_pos].set(
             payload, mode="drop")[:sbuf]
+        s_send = None
+        if scales is not None:
+            s_send = jnp.zeros((sbuf + 1, 1), jnp.float32).at[aligned_pos].set(
+                scales[:, None], mode="drop")[:sbuf]
 
         # metadata exchange == aclnnNotifyDispatch: a tiny XLA all_to_all
         recv_counts = jax.lax.all_to_all(counts, axis_name, 0, 0, tiled=True)
 
-        recv_flat = _pallas_dispatch(
-            x_send, counts, aligned_offsets, recv_counts,
-            num_ranks=r, num_local_experts=el, max_tokens=maxt,
-            axis_name=axis_name, symmetric=symmetric)
+        # dispatch wiring of the generic scatter: slice i=(dst, e) goes from
+        # my aligned region to dst's [e, me*maxT] slot region.
+        me = jax.lax.axis_index(axis_name)
+        ee = jax.lax.broadcasted_iota(jnp.int32, (r, el), 1)
+        dst_off = (ee * (r * maxt) + me * maxt).reshape(-1)
+        recv_flat, s_flat = _remote_scatter(
+            x_send, s_send, counts, aligned_offsets, dst_off, recv_counts,
+            num_ranks=r, slices_per_rank=el, out_rows=el * r * maxt,
+            symmetric=symmetric, sym_chunks=sym_chunks, collective_id=0)
         recv_x = recv_flat.reshape(el, r * maxt, h)
-
-        recv_scales = None
-        if scales is not None:
-            s_send = jnp.zeros((sbuf + 1, 1), jnp.float32).at[aligned_pos].set(
-                scales[:, None], mode="drop")[:sbuf]
-            s_flat = _pallas_dispatch(
-                s_send, counts, aligned_offsets, recv_counts,
-                num_ranks=r, num_local_experts=el, max_tokens=maxt,
-                axis_name=axis_name, symmetric=symmetric)
-            recv_scales = s_flat.reshape(el, r * maxt)
+        recv_scales = s_flat.reshape(el, r * maxt) if s_flat is not None else None
 
         handle = LowLatencyHandle(
             copy_slot=copy_slot, send_counts=counts,
@@ -253,3 +335,53 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
             packed_recv_count=jnp.sum(recv_counts, axis=0),
             layout_range=recv_counts, handle=handle,
         )
+
+    def low_latency_combine(self, x, topk_idx, topk_weights, handle, *,
+                            axis_name):
+        """Kernel-tier combine: reverse chunked remote scatter + weighted sum
+        at the source (ref moe_distribute_combine_v2.h: producers write into
+        share windows, source does the BF16 weighted reduce).
+
+        The chunk-aligned send layout is reconstructed from the base handle's
+        count matrix (the layout is a pure function of the counts), so the
+        handle crossing the Buffer's shard_map boundary needs no extra fields.
+        """
+        hd: LowLatencyHandle = handle
+        el, _slots, h = x.shape
+        r, maxt, t, k = hd.num_ranks, hd.max_tokens, hd.num_tokens, hd.topk
+        tk = t * k
+        maxt_pad = ((maxt + CHUNK - 1) // CHUNK) * CHUNK
+        sym_chunks = maxt_pad // CHUNK
+        symmetric = _use_symmetric(axis_name)
+        aligned_offsets, aligned_pos, sbuf = _aligned_layout(
+            hd.send_counts.reshape(-1), hd.input_offsets, tk, r, el, maxt,
+            symmetric)
+
+        # Combine wiring: slice i=(src, e) of my expert outputs goes back to
+        # rank src, landing at src's chunk-aligned send-slot region for
+        # (me, e) — i.e. src's aligned_offsets row for me, fetched by the
+        # same all_to_all trick as the default strategy's reverse offsets.
+        their_aligned = jax.lax.all_to_all(
+            aligned_offsets.reshape(r, el), axis_name, 0, 0, tiled=True
+        ).reshape(-1)                                          # [(src, e)]
+        ss = jax.lax.broadcasted_iota(jnp.int32, (r, el), 0)
+        ee = jax.lax.broadcasted_iota(jnp.int32, (r, el), 1)
+        src_off = (ee * (r * maxt) + ss * maxt).reshape(-1)    # my x rows
+        # rows I send back per slice = what I received; rows I expect back
+        # per slice = what I originally sent.
+        back, _ = _remote_scatter(
+            x.reshape(el * r * maxt, h), None,
+            hd.recv_counts, src_off, their_aligned, hd.send_counts,
+            num_ranks=r, slices_per_rank=el, out_rows=sbuf,
+            symmetric=symmetric, sym_chunks=sym_chunks, collective_id=1)
+
+        # Weighted sum over the k copies at the source (+0 for invalid).
+        row = jnp.where(hd.copy_slot < tk,
+                        aligned_pos[jnp.clip(hd.copy_slot, 0, tk - 1)], sbuf)
+        copies = back[jnp.clip(row, 0, sbuf - 1)]              # [T*K, H]
+        w = jnp.where(topk_idx.reshape(-1) >= 0,
+                      topk_weights.reshape(-1), 0.0)
+        w = jnp.where((hd.copy_slot < tk) & (row < sbuf), w, 0.0)
+        combined = jnp.sum(
+            (copies.astype(jnp.float32) * w[:, None]).reshape(t, k, h), axis=1)
+        return combined.astype(x.dtype)
