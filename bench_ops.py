@@ -1,0 +1,339 @@
+#!/usr/bin/env python
+"""Per-op benchmark harness — writes BENCH_OPS.json and prints one line per op.
+
+Reference pattern: tests/python/deepep/test_low_latency.py:320-371 prints
+per-rank GB/s + latency for every comm op, and deepep/utils.py:57-90 bench()
+does L2-flush + event timing. TPU version: two-point slope timing (1 vs 1+K
+dispatches with a forced device->host sync — robust to the axon tunnel's
+~30 ms RPC latency), GB/s from exact byte counts, MFU vs the chip's int8/bf16
+peak, and a roofline fraction per op (memory- or compute-bound, whichever
+binds).
+
+Usage: python bench_ops.py [--ops decode_v3,w8a8,...] [--json-out BENCH_OPS.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, k=8, reps=3):
+    """Median per-call seconds via the two-point slope method."""
+    out = fn(*args)
+    jax.tree.leaves(out)[0].block_until_ready()
+    _sync(out)
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        _sync(o)
+        return time.perf_counter() - t0
+
+    times = []
+    for _ in range(reps):
+        t1 = run(1)
+        tk = run(1 + k)
+        times.append((tk - t1) / k)
+    return float(np.median(times))
+
+
+def _sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+
+
+def report(name, sec, bytes_moved=0, flops=0, int_ops=False, extra=None):
+    from sgl_kernel_npu_tpu.utils import get_device_properties
+    props = get_device_properties()
+    gbps = bytes_moved / sec / 1e9 if bytes_moved else 0.0
+    tflops = flops / sec / 1e12 if flops else 0.0
+    peak_t = props.int8_tops if int_ops else props.bf16_tflops
+    mem_frac = gbps / props.hbm_gbps if bytes_moved else 0.0
+    mfu = tflops / peak_t if flops else 0.0
+    entry = {
+        "op": name,
+        "lat_us": round(sec * 1e6, 2),
+        "gbps": round(gbps, 1),
+        "tflops": round(tflops, 2),
+        "mfu": round(mfu, 4),
+        "hbm_frac": round(mem_frac, 4),
+        "roofline_frac": round(max(mem_frac, mfu), 4),
+    }
+    if extra:
+        entry.update(extra)
+    print(json.dumps(entry))
+    return entry
+
+
+# --------------------------------------------------------------- op benches
+
+def bench_decode_v3_int8(rng):
+    """Paged GQA decode attention, INT8 KV (the flagship's hot kernel).
+    Bytes: the live KV window + q/out (weights none)."""
+    from sgl_kernel_npu_tpu.ops.attention.decode_v3 import (
+        decode_gqa_pallas_v3_int8)
+
+    b, hq, hkv, d, ps, ctx = 64, 32, 8, 128, 128, 256
+    pages_per = ctx // ps
+    num_pages = b * pages_per + 1
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
+    ks = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
+    vs = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
+    seq = jnp.full((b,), ctx, jnp.int32)
+    bt = jnp.asarray(1 + np.arange(b * pages_per).reshape(b, pages_per), jnp.int32)
+
+    fn = jax.jit(lambda q: decode_gqa_pallas_v3_int8(
+        q, kc, vc, ks, vs, seq, bt, 1.0 / np.sqrt(d), ps))
+    sec = timeit(fn, q)
+    kv_bytes = b * pages_per * hkv * ps * (2 * d * 1 + 2 * 4)  # k+v int8, 2 f32 scales
+    io = b * hq * d * 2 * 2
+    return report("decode_gqa_v3_int8_b64_ctx256", sec,
+                  bytes_moved=kv_bytes + io,
+                  flops=2 * 2 * b * hq * ctx * d, int_ops=False)
+
+
+def bench_w8a8(rng, m=64):
+    """Pallas W8A8 GEMM at the decode MLP shape (bandwidth-bound at m=64,
+    compute-bound at m=1024)."""
+    from sgl_kernel_npu_tpu.ops.matmul import quant_matmul_int8_pallas
+
+    k, n = 4096, 14336
+    xq = jnp.asarray(rng.integers(-127, 127, (m, k)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 127, (k, n)), jnp.int8)
+    xs = jnp.asarray(rng.random((m, 1)) * .05, jnp.float32)
+    ws = jnp.asarray(rng.random((n,)) * .05, jnp.float32)
+    fn = jax.jit(lambda x: quant_matmul_int8_pallas(x, wq, xs, ws))
+    sec = timeit(fn, xq)
+    return report(f"w8a8_gemm_m{m}_k4096_n14336", sec,
+                  bytes_moved=m * k + k * n + m * n * 2,
+                  flops=2 * m * k * n, int_ops=True)
+
+
+def bench_gmm_int8(rng):
+    """Grouped INT8 GMM (fused-MoE GEMM1 shape, aligned compaction)."""
+    from sgl_kernel_npu_tpu.ops.matmul import grouped_matmul_int8_pallas
+
+    g, k, n, block_m = 8, 2048, 1408, 128
+    tiles_per_e = 2
+    m = g * tiles_per_e * block_m
+    xq = jnp.asarray(rng.integers(-127, 127, (m, k)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 127, (g, k, n)), jnp.int8)
+    xs = jnp.asarray(rng.random((m, 1)) * .05, jnp.float32)
+    ws = jnp.asarray(rng.random((g, n)) * .05, jnp.float32)
+    eid = jnp.asarray(np.repeat(np.arange(g), tiles_per_e), jnp.int32)
+    fn = jax.jit(lambda x: grouped_matmul_int8_pallas(
+        x, wq, xs, ws, eid, block_m=block_m))
+    sec = timeit(fn, xq)
+    return report("gmm_int8_g8_m2048_k2048_n1408", sec,
+                  bytes_moved=m * k + g * k * n + m * n * 2,
+                  flops=2 * m * k * n, int_ops=True)
+
+
+def bench_mla_preprocess(rng):
+    """The mla_preprocess fusion at DeepSeek-V3 dims (hidden 7168)."""
+    from sgl_kernel_npu_tpu.ops import mla_preprocess as mp
+
+    n, hid, kn, kp, qrms, heads, qn = 64, 7168, 512, 64, 1536, 32, 128
+    mm1 = kn + kp + qrms
+    ps, pages = 128, 64
+    hidden = jnp.asarray(rng.standard_normal((n, hid)), jnp.bfloat16)
+    args = dict(
+        gamma0=jnp.ones(hid, jnp.float32), beta0=jnp.zeros(hid, jnp.float32),
+        quant_scale0=jnp.float32(0.7), quant_offset0=jnp.float32(0.0),
+        wdqkv=jnp.asarray(rng.integers(-10, 10, (mm1, hid)), jnp.int8),
+        descale0=jnp.asarray(rng.random(mm1) / 100, jnp.float32),
+        bias0=jnp.asarray(rng.integers(-5, 5, mm1), jnp.int32),
+        gamma1=jnp.ones(qrms, jnp.float32), beta1=jnp.zeros(qrms, jnp.float32),
+        quant_scale1=jnp.float32(0.7), quant_offset1=jnp.float32(0.0),
+        wuq=jnp.asarray(rng.integers(-10, 10, (heads * (qn + kp), qrms)), jnp.int8),
+        descale1=jnp.asarray(rng.random(heads * (qn + kp)) / 100, jnp.float32),
+        bias1=jnp.asarray(rng.integers(-5, 5, heads * (qn + kp)), jnp.int32),
+        gamma2=jnp.ones(kn, jnp.float32),
+        cos=jnp.asarray(rng.standard_normal((n, kp)), jnp.float32),
+        sin=jnp.asarray(rng.standard_normal((n, kp)), jnp.float32),
+        wuk=jnp.asarray(rng.standard_normal((heads, qn, kn)), jnp.bfloat16),
+        kv_cache=jnp.zeros((pages, ps, kn), jnp.bfloat16),
+        krope_cache=jnp.zeros((pages, ps, kp), jnp.bfloat16),
+        slot_mapping=jnp.arange(n, dtype=jnp.int32),
+        q_nope_scale=jnp.ones(heads, jnp.float32),
+        ctkv_scale=jnp.float32(1.0),
+        cache_mode="krope_ctkv", quant_mode="per_tensor",
+    )
+    fn = jax.jit(lambda h: mp.mla_preprocess(h, **args))
+    sec = timeit(fn, hidden)
+    wbytes = mm1 * hid + heads * (qn + kp) * qrms + heads * qn * kn * 2
+    flops = 2 * n * (mm1 * hid + heads * (qn + kp) * qrms + heads * qn * kn)
+    return report("mla_preprocess_n64_h7168", sec,
+                  bytes_moved=wbytes + n * hid * 2, flops=flops, int_ops=True)
+
+
+def bench_ragged_a2a(rng):
+    """EP dispatch+combine on a 1-device mesh: on TPU this EXECUTES the real
+    jax.lax.ragged_all_to_all lowering (never run in round 1) and checks it
+    bitwise against the CPU-style emulation (offset-semantics parity)."""
+    from jax.sharding import Mesh
+    from sgl_kernel_npu_tpu.parallel import Buffer
+    from sgl_kernel_npu_tpu.parallel import comm as comm_mod
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    t, h, e, k_ = 128, 7168, 16, 8
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    idx = jnp.asarray(
+        np.stack([rng.choice(e, k_, replace=False) for _ in range(t)]), jnp.int32)
+    w = jnp.asarray(rng.random((t, k_)), jnp.float32)
+
+    buf = Buffer(mesh, e, num_max_dispatch_tokens_per_rank=t)
+
+    def once(x):
+        recv_x, scales, packed, lr, handle = buf.low_latency_dispatch(
+            x, idx, quant_mode="bf16")
+        comb = buf.low_latency_combine(recv_x, idx, w, handle)
+        return comb
+
+    sec = timeit(once, x, k=4)
+    moved = 2 * t * k_ * h * 2  # dispatch + combine payload rows, bf16
+
+    # offset-semantics parity: real XLA op vs the emulation, same operands
+    parity = None
+    if jax.default_backend() == "tpu":
+        r1 = once(x)
+        real = comm_mod.ragged_all_to_all
+        comm_mod.ragged_all_to_all = comm_mod._emulated
+        try:
+            r2 = once(x)
+        finally:
+            comm_mod.ragged_all_to_all = real
+        parity = bool(np.array_equal(np.asarray(r1), np.asarray(r2)))
+    return report("ep_dispatch_combine_1dev_t128_h7168", sec,
+                  bytes_moved=moved, extra={"emulation_parity": parity})
+
+
+def bench_pallas_ll_loopback(rng):
+    """Pallas LL kernel tier, 1-device loopback (asymmetric protocol)."""
+    from jax.sharding import Mesh
+    from sgl_kernel_npu_tpu.parallel import Buffer
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    t, h, e, k_ = 128, 7168, 16, 8
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    idx = jnp.asarray(
+        np.stack([rng.choice(e, k_, replace=False) for _ in range(t)]), jnp.int32)
+    w = jnp.asarray(rng.random((t, k_)), jnp.float32)
+    buf = Buffer(mesh, e, low_latency_strategy="pallas",
+                 num_max_dispatch_tokens_per_rank=t)
+
+    def once(x):
+        recv_x, scales, packed, lr, handle = buf.low_latency_dispatch(
+            x, idx, quant_mode="bf16")
+        return buf.low_latency_combine(recv_x, idx, w, handle)
+
+    sec = timeit(once, x, k=4)
+    moved = 2 * t * k_ * h * 2
+    return report("pallas_ll_loopback_t128_h7168", sec, bytes_moved=moved)
+
+
+def bench_gdn_chunk(rng):
+    """Chunked gated-delta-rule prefill (Qwen3-Next class)."""
+    from sgl_kernel_npu_tpu.ops.gdn.chunk import chunk_gated_delta_rule
+
+    b, t, h, dk, dv = 1, 2048, 8, 128, 128
+    q = jnp.asarray(rng.standard_normal((b, t, h, dk)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, t, h, dk)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, t, h, dv)), jnp.bfloat16)
+    g = jnp.asarray(-np.abs(rng.standard_normal((b, t, h))) * .1, jnp.float32)
+    beta = jnp.asarray(rng.random((b, t, h)), jnp.float32)
+    fn = jax.jit(lambda q, k, v: chunk_gated_delta_rule(q, k, v, g, beta))
+    sec = timeit(fn, q, k, v)
+    c = 64
+    flops = 2 * b * h * t * (c * dk * 3 + dk * dv * 2 + c * dv)
+    return report("gdn_chunk_t2048_h8_d128", sec,
+                  bytes_moved=b * t * h * (dk * 2 + dv) * 2 * 2, flops=flops)
+
+
+
+def bench_fused_moe(rng, rounds=1):
+    """fused_deep_moe layer on a 1-device mesh (DeepSeek-lite dims): rounds=1
+    vs rounds=4 measures the comm/compute-overlap win of the software
+    pipeline (ref fused_deep_moe.h:38-95)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from sgl_kernel_npu_tpu.parallel import Buffer
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    t, h, f, e, k_ = 128, 2048, 1408, 8, 4
+    x = jnp.asarray(rng.standard_normal((t, h)) * .3, jnp.bfloat16)
+    idx = jnp.asarray(
+        np.stack([rng.choice(e, k_, replace=False) for _ in range(t)]), jnp.int32)
+    w = jnp.asarray(rng.random((t, k_)) * .5, jnp.float32)
+    w13q = jnp.asarray(rng.integers(-127, 127, (e, h, 2 * f)), jnp.int8)
+    w13s = jnp.asarray(rng.random((e, 2 * f)) * 1e-3, jnp.float32)
+    w2q = jnp.asarray(rng.integers(-127, 127, (e, f, h)), jnp.int8)
+    w2s = jnp.asarray(rng.random((e, h)) * 1e-3, jnp.float32)
+    buf = Buffer(mesh, e, num_max_dispatch_tokens_per_rank=t)
+
+    fn = lambda x: buf.fused_deep_moe(x, idx, w, w13q, w13s, w2q, w2s,
+                                      chunk_rounds=rounds)
+    sec = timeit(fn, x, k=4)
+    flops = 2 * t * k_ * (h * 2 * f + f * h)
+    moved = e * (h * 2 * f + f * h) + 2 * t * k_ * h * 2
+    return report(f"fused_deep_moe_t128_h2048_f1408_r{rounds}", sec,
+                  bytes_moved=moved, flops=flops, int_ops=True)
+
+
+BENCHES = {
+    "decode_v3": bench_decode_v3_int8,
+    "w8a8": lambda rng: bench_w8a8(rng, 64),
+    "w8a8_m1024": lambda rng: bench_w8a8(rng, 1024),
+    "gmm_int8": bench_gmm_int8,
+    "mla_preprocess": bench_mla_preprocess,
+    "ragged_a2a": bench_ragged_a2a,
+    "pallas_ll": bench_pallas_ll_loopback,
+    "gdn_chunk": bench_gdn_chunk,
+    "fused_moe_r1": lambda rng: bench_fused_moe(rng, 1),
+    "fused_moe_r4": lambda rng: bench_fused_moe(rng, 4),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", default=",".join(BENCHES))
+    ap.add_argument("--json-out", default="BENCH_OPS.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    rng = np.random.default_rng(0)
+    results = []
+    for name in args.ops.split(","):
+        name = name.strip()
+        if not name:
+            continue
+        try:
+            results.append(BENCHES[name](rng))
+        except Exception as e:  # noqa: BLE001 — per-op diagnostic boundary
+            err = {"op": name, "error": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps(err))
+            results.append(err)
+    from sgl_kernel_npu_tpu.utils import get_device_properties
+    payload = {
+        "platform": get_device_properties().platform,
+        "results": results,
+    }
+    with open(args.json_out, "w") as f:
+        json.dump(payload, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -339,12 +339,16 @@ class Buffer:
 
     def fused_deep_moe(self, x, topk_idx, topk_weights,
                        w13_q, w13_scale, w2_q, w2_scale,
-                       capacity_rows: Optional[int] = None):
+                       capacity_rows: Optional[int] = None,
+                       chunk_rounds: int = 1):
         """Single-jit fused MoE layer (ref: Buffer.fused_deep_moe §3.3).
 
         x [Ttotal, H] sharded over EP; expert weights sharded over EP on dim 0:
         w13_q [E, H, 2F] int8, w13_scale [E, 2F], w2_q [E, F, H] int8,
         w2_scale [E, H]. Returns [Ttotal, H].
+
+        chunk_rounds > 1 software-pipelines dispatch/GEMM/combine rounds for
+        comm/compute overlap (ref fused_deep_moe.h:38-95 preload-async).
         """
         from . import fused_moe as _fm
 
@@ -357,7 +361,7 @@ class Buffer:
                 strategy=strat, axis_name=self.axis_name,
                 num_experts=self.num_experts, num_ranks=self.num_ranks,
                 num_max_dispatch_tokens_per_rank=maxt,
-                capacity_rows=capacity_rows,
+                capacity_rows=capacity_rows, chunk_rounds=chunk_rounds,
             )
 
         return self._smap(

@@ -83,32 +83,15 @@ def _compact_slots_aligned(recv_counts, num_ranks, num_local_experts,
     return slot_ids, ok, eid
 
 
-def fused_deep_moe_shard(
-    x, topk_idx, topk_weights,
-    w13_q, w13_scale, w2_q, w2_scale,
-    *, strategy, axis_name, num_experts, num_ranks,
-    num_max_dispatch_tokens_per_rank, capacity_rows: Optional[int] = None,
-):
-    """Per-shard fused MoE layer (call inside shard_map over the EP axis).
-
-    x [T, H] bf16; topk_idx/[T, K]; w13_q [El, H, 2F] int8 with
-    w13_scale [El, 2F] f32; w2_q [El, F, H] int8 with w2_scale [El, H] f32.
-    Returns [T, H] bf16.
-    """
-    t, h = x.shape
-    k = topk_idx.shape[1]
-    r = num_ranks
-    el = num_experts // r
-    maxt = num_max_dispatch_tokens_per_rank
-    f2 = w13_q.shape[-1]
-    f = f2 // 2
-
-    res: LowLatencyDispatchResult = strategy.low_latency_dispatch(
-        x, topk_idx, axis_name=axis_name, num_experts=num_experts,
-        num_ranks=num_ranks, num_max_dispatch_tokens_per_rank=maxt,
-        quant_mode="int8",
-    )
-    cap = capacity_rows or r * maxt * min(k, el)
+def _expert_ffn_slotted(res: LowLatencyDispatchResult, w13_q, w13_scale,
+                        w2_q, w2_scale, *, num_ranks, num_local_experts,
+                        max_tokens, cap):
+    """Compaction -> GMM1(int8) -> dequant-SwiGLU-quant -> GMM2 -> scatter
+    back to the slotted [El, R*maxT, H] layout (the compute core of
+    aclnnFusedDeepMoe, fused_deep_moe.h:59-95)."""
+    r, el, maxt = num_ranks, num_local_experts, max_tokens
+    h = res.recv_x.shape[-1]
+    f = w13_q.shape[-1] // 2
 
     pallas_gmm = use_pallas()
     if pallas_gmm:
@@ -147,8 +130,75 @@ def fused_deep_moe_shard(
     slotted = jnp.zeros((el * r * maxt + 1, h), y.dtype).at[slot_ids].set(
         jnp.where(ok[:, None], y, 0), mode="drop"
     )[: el * r * maxt]
-    out = strategy.low_latency_combine(
-        slotted.reshape(el, r * maxt, h), topk_idx, topk_weights, res.handle,
-        axis_name=axis_name,
-    )
-    return out
+    return slotted.reshape(el, r * maxt, h)
+
+
+def fused_deep_moe_shard(
+    x, topk_idx, topk_weights,
+    w13_q, w13_scale, w2_q, w2_scale,
+    *, strategy, axis_name, num_experts, num_ranks,
+    num_max_dispatch_tokens_per_rank, capacity_rows: Optional[int] = None,
+    chunk_rounds: int = 1,
+):
+    """Per-shard fused MoE layer (call inside shard_map over the EP axis).
+
+    x [T, H] bf16; topk_idx/[T, K]; w13_q [El, H, 2F] int8 with
+    w13_scale [El, 2F] f32; w2_q [El, F, H] int8 with w2_scale [El, H] f32.
+    Returns [T, H] bf16.
+
+    chunk_rounds > 1 software-pipelines the layer for comm/compute overlap
+    (the reference's preload-async-callback core, fused_deep_moe.h:38-95, and
+    the DEEPEP_NORMAL_LONG_SEQ_ROUND tiling, deep_ep.cpp:54-78): tokens are
+    split into `chunk_rounds` slices, round i+1's dispatch collective is
+    ISSUED before round i's expert GEMMs, so XLA's async scheduler runs the
+    ragged a2a of the next slice while the MXU chews the current one. Combine
+    of round i likewise overlaps GEMMs of round i+1.
+    """
+    t, h = x.shape
+    k = topk_idx.shape[1]
+    r = num_ranks
+    el = num_experts // r
+    maxt = num_max_dispatch_tokens_per_rank
+
+    if chunk_rounds <= 1:
+        res: LowLatencyDispatchResult = strategy.low_latency_dispatch(
+            x, topk_idx, axis_name=axis_name, num_experts=num_experts,
+            num_ranks=num_ranks, num_max_dispatch_tokens_per_rank=maxt,
+            quant_mode="int8",
+        )
+        cap = capacity_rows or r * maxt * min(k, el)
+        slotted = _expert_ffn_slotted(
+            res, w13_q, w13_scale, w2_q, w2_scale, num_ranks=r,
+            num_local_experts=el, max_tokens=maxt, cap=cap)
+        return strategy.low_latency_combine(
+            slotted, topk_idx, topk_weights, res.handle, axis_name=axis_name)
+
+    assert t % chunk_rounds == 0, \
+        f"T={t} must divide into {chunk_rounds} rounds"
+    tr = t // chunk_rounds
+    maxt_r = min(maxt, max(tr, 8))
+    cap = capacity_rows or r * maxt_r * min(k, el)
+
+    def dispatch(i):
+        sl = slice(i * tr, (i + 1) * tr)
+        return strategy.low_latency_dispatch(
+            x[sl], topk_idx[sl], axis_name=axis_name,
+            num_experts=num_experts, num_ranks=num_ranks,
+            num_max_dispatch_tokens_per_rank=maxt_r, quant_mode="int8",
+        )
+
+    # Software pipeline: issue dispatch i+1, THEN compute round i — the
+    # dataflow lets XLA hoist the collective start above the GEMMs.
+    outs = []
+    res = dispatch(0)
+    for i in range(chunk_rounds):
+        nxt = dispatch(i + 1) if i + 1 < chunk_rounds else None
+        slotted = _expert_ffn_slotted(
+            res, w13_q, w13_scale, w2_q, w2_scale, num_ranks=r,
+            num_local_experts=el, max_tokens=maxt_r, cap=cap)
+        sl = slice(i * tr, (i + 1) * tr)
+        outs.append(strategy.low_latency_combine(
+            slotted, topk_idx[sl], topk_weights[sl], res.handle,
+            axis_name=axis_name))
+        res = nxt
+    return jnp.concatenate(outs, axis=0)

@@ -110,3 +110,28 @@ def test_fused_deep_moe_pallas_gmm_matches_ref_path(monkeypatch, rng):
     monkeypatch.setenv("SKT_IMPL", "pallas")
     out_pal = run()
     assert calc_diff(out_ref, out_pal) < 1e-5
+
+
+@pytest.mark.parametrize("rounds", [2, 4])
+def test_fused_deep_moe_chunked_matches_unchunked(rng, rounds):
+    """chunk_rounds pipelining (comm/compute overlap) is semantics-preserving:
+    the chunked layer equals the single-round layer bitwise-tolerance-wise."""
+    mesh = Mesh(np.array(jax.devices()[:R]), ("ep",))
+    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T)
+    total = R * T
+    x = (rng.standard_normal((total, H)) * 0.3).astype(np.float32)
+    topk_idx = np.stack([rng.choice(E, K, replace=False)
+                         for _ in range(total)]).astype(np.int32)
+    topk_w = (rng.random((total, K)) * 0.5).astype(np.float32)
+    w13, w13q, w13s = _quant_weights(rng, E, H, 2 * F)
+    w2, w2q, w2s = _quant_weights(rng, E, F, H)
+    xs = jax.device_put(jnp.array(x, jnp.bfloat16),
+                        jax.NamedSharding(mesh, P("ep")))
+    args = (xs, jnp.array(topk_idx), jnp.array(topk_w), jnp.array(w13q),
+            jnp.array(w13s), jnp.array(w2q), jnp.array(w2s))
+    base = np.asarray(buf.fused_deep_moe(*args), np.float32)
+    chunked = np.asarray(buf.fused_deep_moe(*args, chunk_rounds=rounds),
+                         np.float32)
+    assert calc_diff(chunked, base) < 1e-5
+    golden = _dense_moe(x, topk_idx, topk_w, w13, w2)
+    assert calc_diff(chunked, golden) < 2e-3
