@@ -9,10 +9,12 @@ Reference parity: csrc/attentions/
     plugin/register_ops.cpp:29-34)      -> topk_sparse_attention
 
 TPU design: block masks are [Tq_blocks, Tk_blocks] boolean tensors; the
-estimator pools q/k into block means and scores them (one small matmul). The
-masked attention multiplies the mask into the logits — XLA skips nothing, but
-at the block granularity the mask also drives a gather-based "only selected
-blocks" path for long contexts.
+estimator pools q/k into block means and scores them (one small matmul).
+This module's `block_sparse_attention` is the dense-tensor REFERENCE tier
+(mask multiplied into the logits — XLA skips nothing); the compute-skipping
+production tier is `paged_prefill.block_sparse_paged_attention`, a Pallas
+kernel whose DMA + FLOPs are proportional to the SELECTED blocks (feed it
+this module's estimator mask via `block_mask_to_page_lists`).
 """
 
 from __future__ import annotations

@@ -331,7 +331,9 @@ class Buffer:
             max_tokens=maxt, num_local_experts=self.num_local_experts,
             num_ranks=self.num_ranks,
         )
-        base = (recv_x, (scales if quant_mode in ("int8", "fp8") else None),
+        base = (recv_x,
+                (scales if quant_mode in ("int8", "fp8", "mxfp8", "mxfp4")
+                 else None),
                 packed_count, layout_range, handle)
         if cumulative_local_expert_recv_stats is not None:
             return base + (cumulative_local_expert_recv_stats,)

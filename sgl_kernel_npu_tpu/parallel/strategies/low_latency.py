@@ -30,6 +30,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from ...ops import mxquant
 from ...ops.quant import per_block_quant_fp8, per_token_quant_int8
 from ..comm import ragged_all_to_all
 from ..strategy import (
@@ -157,6 +158,7 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
         tok = jnp.where(
             copy_of_slot < t * k, copy_of_slot // k, copy_of_slot - t * k)
         tok = jnp.where(copy_of_slot < tk, jnp.clip(tok, 0, t - 1), 0)
+        send_scales = send_scales2d = None
         if quant_mode == "int8":
             xq, xs = per_token_quant_int8(x)
             send_x = xq[tok]
@@ -170,9 +172,16 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
             xq8 = (x32 / xs8).astype(jnp.float8_e4m3fn)
             send_x = xq8[tok]
             send_scales = xs8[tok][:, 0]
+        elif quant_mode in ("mxfp8", "mxfp4"):
+            # OCP MX block-32 quant (ref deep_ep.cpp:13-19 MXFP8/MXFP4 modes,
+            # quantize_functions.h:62-380): payload fp8 (1 B/elt) or packed
+            # fp4 (0.5 B/elt), E8M0 uint8 scales ride a second ragged a2a.
+            qf, sf = (mxquant.quantize_mxfp8(x) if quant_mode == "mxfp8"
+                      else mxquant.quantize_mxfp4(x))
+            send_x = qf[tok]
+            send_scales2d = sf[tok]
         else:
             send_x = x[tok]
-            send_scales = None
 
         # Per-destination slice offsets: slice (dst, e) lands at
         # [e, me*maxT] of dst's [El, R*maxT, H] output.
@@ -183,11 +192,12 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
         recv_counts = jax.lax.all_to_all(counts, axis_name, 0, 0, tiled=True)  # [R, El]
         recv_sizes = recv_counts.reshape(-1)
 
-        out = jnp.zeros((el * r * maxt, h), send_x.dtype)
+        hp = send_x.shape[-1]   # payload width (H; H/2 packed for mxfp4)
+        out = jnp.zeros((el * r * maxt, hp), send_x.dtype)
         recv_x = ragged_all_to_all(
             send_x, out, input_offsets, counts.reshape(-1),
             output_offsets, recv_sizes, axis_name=axis_name,
-        ).reshape(el, r * maxt, h)
+        ).reshape(el, r * maxt, hp)
 
         recv_scales = None
         if send_scales is not None:
@@ -196,6 +206,13 @@ class DefaultLowLatencyCommStrategy(LowLatencyEPCommStrategy):
                 send_scales, sout, input_offsets, counts.reshape(-1),
                 output_offsets, recv_sizes, axis_name=axis_name,
             ).reshape(el, r * maxt)
+        elif send_scales2d is not None:
+            sw = send_scales2d.shape[-1]
+            sout = jnp.zeros((el * r * maxt, sw), send_scales2d.dtype)
+            recv_scales = ragged_all_to_all(
+                send_scales2d, sout, input_offsets, counts.reshape(-1),
+                output_offsets, recv_sizes, axis_name=axis_name,
+            ).reshape(el, r * maxt, sw)
 
         packed_recv_count = jnp.sum(recv_counts, axis=0)  # [El]
         handle = LowLatencyHandle(
@@ -299,20 +316,26 @@ class AllToAllLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         tok = jnp.where(
             copy_of_slot < t * k, copy_of_slot // k, copy_of_slot - t * k)
         tok = jnp.where(copy_of_slot < tk, jnp.clip(tok, 0, t - 1), 0)
+        scale_payload = scale2d_payload = None
         if quant_mode == "int8":
             xq, xs = per_token_quant_int8(x)
             payload = xq[tok]
             scale_payload = xs[tok][:, 0]
-            dense = jnp.zeros((r * el * maxt, h), xq.dtype)
+        elif quant_mode in ("mxfp8", "mxfp4"):
+            qf, sf = (mxquant.quantize_mxfp8(x) if quant_mode == "mxfp8"
+                      else mxquant.quantize_mxfp4(x))
+            payload = qf[tok]
+            scale2d_payload = sf[tok]
         else:
             payload = x[tok]
-            scale_payload = None
+        hp = payload.shape[-1]
         pos = jnp.where(sorted_key < r * el, sorted_key * maxt + within, r * el * maxt)
-        dense = dense.at[pos].set(payload, mode="drop")
+        dense = jnp.zeros((r * el * maxt, hp), payload.dtype).at[pos].set(
+            payload, mode="drop")
 
         a2a = lambda p: jax.lax.all_to_all(p, axis_name, 0, 0, tiled=True)
-        recv_dense = a2a(dense.reshape(r, el * maxt * h)).reshape(r, el, maxt, h)
-        recv_x = recv_dense.transpose(1, 0, 2, 3).reshape(el, r * maxt, h)
+        recv_dense = a2a(dense.reshape(r, el * maxt * hp)).reshape(r, el, maxt, hp)
+        recv_x = recv_dense.transpose(1, 0, 2, 3).reshape(el, r * maxt, hp)
 
         recv_scales = None
         if scale_payload is not None:
@@ -320,6 +343,12 @@ class AllToAllLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
                 scale_payload, mode="drop")
             recv_s = a2a(dense_s.reshape(r, el * maxt)).reshape(r, el, maxt)
             recv_scales = recv_s.transpose(1, 0, 2).reshape(el, r * maxt)
+        elif scale2d_payload is not None:
+            sw = scale2d_payload.shape[-1]
+            dense_s = jnp.zeros((r * el * maxt, sw), scale2d_payload.dtype
+                                ).at[pos].set(scale2d_payload, mode="drop")
+            recv_s = a2a(dense_s.reshape(r, el * maxt * sw)).reshape(r, el, maxt, sw)
+            recv_scales = recv_s.transpose(1, 0, 2, 3).reshape(el, r * maxt, sw)
 
         recv_counts = jax.lax.all_to_all(counts, axis_name, 0, 0, tiled=True)
         handle = LowLatencyHandle(

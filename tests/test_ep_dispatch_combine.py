@@ -94,7 +94,7 @@ def test_normal_dispatch_combine_identity(rng, strategy, quant):
     combined, combined_w = buf.combine(comb_in, handle, recv_w)
     w_valid = np.where(topk_idx >= 0, topk_weights, 0.0)
     golden = x * w_valid.sum(-1, keepdims=True)
-    tol = 0.06 if quant == "int8" else 1e-3
+    tol = {"bf16": 1e-3, "int8": 0.06, "mxfp8": 0.12, "mxfp4": 0.4}[quant]
     assert_close(combined, golden, rtol=tol, atol=tol, name=f"{strategy}/{quant}")
     assert_close(combined_w, w_valid * (w_valid > 0), rtol=1e-4, atol=1e-5)
 
@@ -126,7 +126,7 @@ def test_normal_strategies_agree(rng):
 
 
 @pytest.mark.parametrize("strategy", ["alltoall", "default"])
-@pytest.mark.parametrize("quant", ["bf16", "int8"])
+@pytest.mark.parametrize("quant", ["bf16", "int8", "mxfp8", "mxfp4"])
 def test_low_latency_dispatch_combine(rng, strategy, quant):
     mesh = make_mesh()
     buf = Buffer(mesh, E, normal_strategy="default", low_latency_strategy=strategy,
@@ -140,12 +140,23 @@ def test_low_latency_dispatch_combine(rng, strategy, quant):
     recv_x, recv_scales, packed_count, layout_range, handle = buf.low_latency_dispatch(
         xs, jnp.array(topk_idx), quant_mode=quant,
     )
-    # recv_x: [R(global rank), El, R*maxT, H] once unsharded
-    rx = np.asarray(recv_x, np.float32 if quant == "bf16" else np.int8)
-    rx = rx.reshape(R, el, R * T, H)
-    if quant == "int8":
-        rs = np.asarray(recv_scales).reshape(R, el, R * T)
-        rx = rx.astype(np.float32) * rs[..., None]
+    # recv_x: [R(global rank), El, R*maxT, Hp] once unsharded
+    if quant in ("mxfp8", "mxfp4"):
+        from sgl_kernel_npu_tpu.ops import mxquant
+        hp = recv_x.shape[-1]
+        sw = recv_scales.shape[-1]
+        deq = (mxquant.dequantize_mxfp8 if quant == "mxfp8"
+               else mxquant.dequantize_mxfp4)
+        rx = np.asarray(deq(recv_x.reshape(-1, hp),
+                            recv_scales.reshape(-1, sw),
+                            out_dtype=jnp.float32))
+        rx = rx.reshape(R, el, R * T, H)
+    else:
+        rx = np.asarray(recv_x, np.float32 if quant == "bf16" else np.int8)
+        rx = rx.reshape(R, el, R * T, H)
+        if quant == "int8":
+            rs = np.asarray(recv_scales).reshape(R, el, R * T)
+            rx = rx.astype(np.float32) * rs[..., None]
     lr = np.asarray(layout_range).reshape(R, R, el)  # [dst, src, expert]
 
     # golden per (dst, src, expert): tokens in source order at slots src*T+i
@@ -158,7 +169,8 @@ def test_low_latency_dispatch_combine(rng, strategy, quant):
                 assert lr[dst, src, e] == len(toks), (dst, src, e)
                 got = rx[dst, e, src * T : src * T + len(toks)]
                 want = x[toks]
-                tol = 0.05 if quant == "int8" else 1e-5
+                tol = {"bf16": 1e-5, "int8": 0.05, "mxfp8": 0.1,
+                       "mxfp4": 0.35}[quant]
                 np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
     np.testing.assert_array_equal(
         np.asarray(packed_count).reshape(R, el).sum(),
@@ -172,7 +184,7 @@ def test_low_latency_dispatch_combine(rng, strategy, quant):
     )
     w_valid = np.where(topk_idx >= 0, topk_weights, 0.0)
     golden = x * w_valid.sum(-1, keepdims=True)
-    tol = 0.06 if quant == "int8" else 1e-3
+    tol = {"bf16": 1e-3, "int8": 0.06, "mxfp8": 0.12, "mxfp4": 0.4}[quant]
     assert_close(combined, golden, rtol=tol, atol=tol, name=strategy)
 
 
