@@ -211,6 +211,23 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         x = x + _reduce(_qmm(act, lp["w2"]))
         return (x, kv_all, li + 1), ()
 
+    ps = cfg.page_size
+    v4 = env.decode_v4() if (cfg.int8_kv and use_pallas()
+                             and (d % 128 == 0 or interpret_mode())) else 0
+    pages_per_layer = (kv_cache["k"] if cfg.int8_kv else kv_cache[0]).shape[1]
+    # Flat-cache decode (default): fold the layer dim into the PAGE dim
+    # ([L, P, ...] -> [L*P, ...], a free bitcast) so each layer scatters and
+    # attends straight into the big cache through a page-offset block table —
+    # no per-layer dynamic_index slice-out (a full layer-cache copy) and no
+    # dynamic_update_slice write-back. This is what decode v4's aliasing
+    # chased, without aliased pallas custom-calls (v4=1 fails Mosaic compile
+    # on v5e; v4=2 measured 7x slower than v3 — A/B 2026-08-17).
+    flat = v4 == 0 and env.env_bool("SKT_DECODE_FLAT", True)
+    if flat:
+        kv_cache = jax.tree.map(
+            lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
+            kv_cache)
+
     def layer(carry, inputs):
         # the FULL stacked KV cache rides in the carry so XLA updates it in
         # place (scan xs->ys stacking would copy gigabytes per step)
@@ -229,8 +246,42 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         def upd(full, one):
             return jax.lax.dynamic_update_slice_in_dim(full, one[None], li, 0)
 
-        v4 = env.decode_v4() if (cfg.int8_kv and use_pallas()
-                                 and (d % 128 == 0 or interpret_mode())) else 0
+        tiling_ok = d % 128 == 0 or interpret_mode()
+        if flat:
+            bt_l = block_table + li * pages_per_layer
+            slots_l = jnp.where(slot_mapping >= 0,
+                                slot_mapping + li * pages_per_layer * ps, -1)
+            if cfg.int8_kv:
+                kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
+                    k, v, kv_all["k"], kv_all["v"], kv_all["ks"],
+                    kv_all["vs"], slots_l)
+                kv_all = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+                # NB: same gating as the stacked branch — the kernel path
+                # stays on in interpret mode so prefill/decode numerics match
+                if tiling_ok:
+                    att = decode_gqa_pallas_v3_int8(
+                        q, kc, vc, ks, vs, seq_lens, bt_l, sm_scale, ps)
+                else:
+                    kf = (kc.astype(jnp.float32)
+                          * ks[:, :, 0, :, None]).astype(q.dtype)
+                    vf = (vc.astype(jnp.float32)
+                          * vs[:, :, 0, :, None]).astype(q.dtype)
+                    att = decode_gqa_ref(q, kf.transpose(1, 0, 2, 3),
+                                         vf.transpose(1, 0, 2, 3), seq_lens,
+                                         bt_l, sm_scale, ps)
+            else:
+                kc, vc = reshape_and_cache_gqa_page_major(
+                    k, v, kv_all[0], kv_all[1], slots_l)
+                kv_all = (kc, vc)
+                if use_pallas() and tiling_ok:
+                    att = decode_gqa_pallas_v3(q, kc, vc, seq_lens, bt_l,
+                                               sm_scale, ps)
+                else:
+                    att = decode_gqa_ref(q, kc.transpose(1, 0, 2, 3),
+                                         vc.transpose(1, 0, 2, 3), seq_lens,
+                                         bt_l, sm_scale, ps)
+            return ffn_tail(x, att, lp, kv_all, li)
+
         if v4 == 1:
             # fused scatter+attend over the ALIASED stacked cache: no per-layer
             # slice copy, no XLA scatter (see ops/attention/decode_v4.py)
@@ -301,6 +352,11 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         (x, kv_cache, _), _ = jax.lax.scan(
             layer, (x, kv_cache, jnp.int32(0)), params["layers"]
         )
+
+    if flat:   # restore the external [L, P, ...] layout (free bitcast)
+        kv_cache = jax.tree.map(
+            lambda a: a.reshape((cfg.num_layers, pages_per_layer) + a.shape[1:]),
+            kv_cache)
 
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
