@@ -300,3 +300,133 @@ def load_moe_expert_bank(path: str, num_layers: int, num_experts: int):
         "shared_w13": jnp.asarray(np.stack(sh13)),
         "shared_w2": jnp.asarray(np.stack(sh2)),
     }
+
+
+# --------------------------------------------------------------- Qwen3-Next
+
+
+def config_qwen_next_from_hf(path: str):
+    """config.json of a HF `Qwen3NextForCausalLM` -> QwenNextConfig.
+
+    `full_attention_interval` is derived from `layer_types` (the public
+    checkpoints use a 3:1 linear:full pattern, i.e. interval 4)."""
+    from .qwen_next import QwenNextConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    lt = hf.get("layer_types")
+    if lt and "full_attention" in lt:
+        interval = lt.index("full_attention") + 1
+    else:
+        interval = hf.get("full_attention_interval", 4)
+    return QwenNextConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        full_attention_interval=interval,
+        num_qk_heads=hf["linear_num_key_heads"],
+        num_v_heads=hf["linear_num_value_heads"],
+        head_qk_dim=hf["linear_key_head_dim"],
+        head_v_dim=hf["linear_value_head_dim"],
+        conv_width=hf["linear_conv_kernel_dim"],
+        chunk_size=64,
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf["num_key_value_heads"],
+        head_dim=hf.get("head_dim",
+                        hf["hidden_size"] // hf["num_attention_heads"]),
+        partial_rotary_factor=hf.get("partial_rotary_factor", 0.25),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        num_experts=hf["num_experts"],
+        top_k=hf["num_experts_per_tok"],
+        norm_topk_prob=hf.get("norm_topk_prob", True),
+        moe_intermediate_size=hf["moe_intermediate_size"],
+        shared_intermediate_size=hf["shared_expert_intermediate_size"],
+        rms_eps=hf.get("rms_norm_eps", 1e-6),
+        max_position=min(hf.get("max_position_embeddings", 8192), 32768),
+    )
+
+
+def load_qwen_next(path: str):
+    """HF Qwen3-Next checkpoint -> (cfg, params) for models.qwen_next (fp32).
+
+    Norm handling: HF `Qwen3NextRMSNorm` weights are zero-centered
+    (out = rms(x) * (1 + w)) — input/post layernorms, q/k norms and the final
+    norm get +1 here so the model code can use plain RMS. The GDN block's
+    RMSNormGated weight ([head_v_dim], NOT zero-centered) is tiled across
+    v-heads to the package's [num_v_heads * head_v_dim] layout."""
+    from .qwen_next import init_params
+
+    cfg = config_qwen_next_from_hf(path)
+    t = _load_all_tensors(path)
+
+    def get(name):
+        return t[name].astype(np.float32)
+
+    g, a = [], []  # per-type accumulators: list of dicts
+    moe = []
+    for i in range(cfg.num_layers):
+        pre = f"model.layers.{i}."
+        if not cfg.is_full_attention(i):
+            la = pre + "linear_attn."
+            g.append({
+                "in_norm": get(pre + "input_layernorm.weight") + 1.0,
+                "wqkvz": get(la + "in_proj_qkvz.weight").T,
+                "wba": get(la + "in_proj_ba.weight").T,
+                "conv_w": get(la + "conv1d.weight")[:, 0, :],
+                "conv_b": (get(la + "conv1d.bias")
+                           if la + "conv1d.bias" in t else
+                           np.zeros(t[la + "conv1d.weight"].shape[0],
+                                    np.float32)),
+                "A_log": get(la + "A_log"),
+                "dt_bias": get(la + "dt_bias"),
+                "out_norm_w": np.tile(get(la + "norm.weight"),
+                                      cfg.num_v_heads),
+                "wo": get(la + "out_proj.weight").T,
+            })
+        else:
+            sa = pre + "self_attn."
+            a.append({
+                "in_norm": get(pre + "input_layernorm.weight") + 1.0,
+                "wq": get(sa + "q_proj.weight").T,
+                "wk": get(sa + "k_proj.weight").T,
+                "wv": get(sa + "v_proj.weight").T,
+                "wo": get(sa + "o_proj.weight").T,
+                "q_norm": get(sa + "q_norm.weight") + 1.0,
+                "k_norm": get(sa + "k_norm.weight") + 1.0,
+            })
+        mp = pre + "mlp."
+        w13 = np.stack([np.concatenate(
+            [get(f"{mp}experts.{e}.gate_proj.weight").T,
+             get(f"{mp}experts.{e}.up_proj.weight").T], axis=1)
+            for e in range(cfg.num_experts)])
+        w2 = np.stack([get(f"{mp}experts.{e}.down_proj.weight").T
+                       for e in range(cfg.num_experts)])
+        moe.append({
+            "norm": get(pre + "post_attention_layernorm.weight") + 1.0,
+            "router": get(mp + "gate.weight").T,
+            "w13": w13,
+            "w2": w2,
+            "shared_w13": np.concatenate(
+                [get(mp + "shared_expert.gate_proj.weight").T,
+                 get(mp + "shared_expert.up_proj.weight").T], axis=1),
+            "shared_w2": get(mp + "shared_expert.down_proj.weight").T,
+            "shared_gate": get(mp + "shared_expert_gate.weight").T,
+        })
+
+    def stack(dicts):
+        return {k: jnp.asarray(np.stack([d[k] for d in dicts]))
+                for k in dicts[0]} if dicts else {}
+
+    embed = get("model.embed_tokens.weight")
+    lm_head = (get("lm_head.weight").T if "lm_head.weight" in t
+               else embed.T.copy())
+    params = init_params(cfg, seed=0)  # template for cos_sin / lora shapes
+    params.update({
+        "embed": jnp.asarray(embed),
+        "final_norm": jnp.asarray(get("model.norm.weight") + 1.0),
+        "lm_head": jnp.asarray(lm_head),
+        "gdn": stack(g),
+        "attn": stack(a),
+        "moe": stack(moe),
+    })
+    return cfg, params
