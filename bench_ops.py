@@ -24,26 +24,68 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, k=8, reps=3):
-    """Median per-call seconds via the two-point slope method."""
-    out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+def timeit(fn, *args, k=None, reps=3):
+    """Median per-call seconds via a k-iteration on-device loop.
+
+    Through the axon tunnel every dispatch+sync costs ~3.4 ms RTT, which both
+    swamped per-call timing (flat 3.3-4.4 ms floor across all ops, r2 sweep)
+    and made two-point subtraction noisy (negative latencies). Instead the op
+    runs k times inside ONE jitted `fori_loop`, with
+    `lax.optimization_barrier` threading each output into the next iteration's
+    inputs so XLA can neither hoist nor elide the body. One RTT amortized over
+    k iterations: overhead/k < 2% for k >= 64.
+
+    k=None auto-scales from a rough single-call measurement so slow ops don't
+    loop for minutes (ops slower than 0.2 s run unlooped — RTT is negligible
+    for them anyway).
+    """
+    out = fn(*args)  # compile + warm
     _sync(out)
 
-    def run(n):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = fn(*args)
-        _sync(o)
-        return time.perf_counter() - t0
+    leaves, treedef = jax.tree.flatten(args)
+    arr_idx = [i for i, a in enumerate(leaves)
+               if isinstance(a, (jax.Array, np.ndarray))]
 
-    times = []
-    for _ in range(reps):
-        t1 = run(1)
-        tk = run(1 + k)
-        times.append((tk - t1) / k)
-    return float(np.median(times))
+    def call(arrs):
+        ls = list(leaves)
+        for i, a in zip(arr_idx, arrs):
+            ls[i] = a
+        return fn(*jax.tree.unflatten(treedef, ls))
+
+    def body(_, arrs):
+        o = call(arrs)
+        flat_o = [x for x in jax.tree.leaves(o)
+                  if isinstance(x, jax.Array)]
+        barr = jax.lax.optimization_barrier(tuple(arrs) + tuple(flat_o))
+        return tuple(barr[: len(arrs)])
+
+    arrs0 = tuple(jnp.asarray(leaves[i]) for i in arr_idx)
+
+    def run_loop(n):
+        looped = jax.jit(lambda a: jax.lax.fori_loop(0, n, body, a),
+                         static_argnums=())
+        o = looped(arrs0)  # compile
+        jax.block_until_ready(o)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(looped(arrs0))
+            ts.append((time.perf_counter() - t0) / n)
+        return float(np.median(ts))
+
+    if k is None:
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        rough = time.perf_counter() - t0
+        if rough > 0.2:   # RTT negligible; loop would take minutes
+            ts = []
+            for _ in range(max(1, reps - 1)):
+                t0 = time.perf_counter()
+                _sync(fn(*args))
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+        k = int(min(256, max(32, 0.3 / max(rough - 0.003, 1e-4))))
+    return run_loop(k)
 
 
 def _sync(out):

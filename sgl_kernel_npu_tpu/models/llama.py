@@ -41,7 +41,8 @@ from ..ops.attention.decode_v3 import (
 from ..utils import env, use_pallas
 from ..utils.device import interpret_mode
 from ..ops.quant import per_token_quant_int8
-from ..ops.matmul import quant_matmul_int8_ref
+from ..ops.matmul import (quant_matmul_int8, quant_matmul_int8_ref,
+                          quant_matmul_int8_stacked)
 from ..ops.rope import apply_rope, make_cos_sin_cache
 
 
@@ -159,6 +160,20 @@ def _qmm(x, w):
     return quant_matmul_int8_ref(xq, w["q"], xs, w["scale"], out_dtype=x.dtype)
 
 
+# big per-layer weight banks kept OUT of the scan xs: a pallas_call operand
+# cannot fuse the scan's per-layer dynamic-slice (XLA materializes a full
+# layer copy, measured 4.4x slower end-to-end) — the stacked kernel indexes
+# the [L, K, N] bank in-kernel via scalar prefetch instead.
+_BIG_WEIGHTS = ("wqkv", "wo", "w13", "w2")
+
+
+def _qmm_l(x, bank, li):
+    """x [B, H] x bank {q: [L, K, N], scale: [L, N]} at layer li."""
+    xq, xs = per_token_quant_int8(x)
+    return quant_matmul_int8_stacked(xq, bank["q"], li, xs, bank["scale"],
+                                     out_dtype=x.dtype)
+
+
 def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                    input_ids, positions, seq_lens, block_table, slot_mapping,
                    tp_axis=None, lora_ids=None):
@@ -192,9 +207,11 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     cs = params["cos_sin"][positions]          # [B, D]
     cos, sin = cs[:, : d // 2], cs[:, d // 2 :]
 
+    big = params["layers"]  # closure-invariant banks, indexed in-kernel by li
+
     def ffn_tail(x, att, lp, kv_all, li):
         att = att.reshape(b, -1)
-        wo_out = _qmm(att, lp["wo"])
+        wo_out = _qmm_l(att, big["wo"], li)
         if lora_ids is not None:
             from ..ops import lora as _lora
             shrunk = _lora.bgmv_shrink(att, lp["lora_wo_A"], lora_ids)
@@ -203,12 +220,12 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                 wo_out.shape[-1])
         x = x + _reduce(wo_out)
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
-        ug = _qmm(h2, lp["w13"])
+        ug = _qmm_l(h2, big["w13"], li)
         f = cfg.intermediate_size
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
                * g32[:, f:]).astype(x.dtype)
-        x = x + _reduce(_qmm(act, lp["w2"]))
+        x = x + _reduce(_qmm_l(act, big["w2"], li))
         return (x, kv_all, li + 1), ()
 
     ps = cfg.page_size
@@ -235,7 +252,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         lp = inputs
 
         h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
-        qkv = _qmm(h1, lp["wqkv"])
+        qkv = _qmm_l(h1, big["wqkv"], li)
         q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
         q = q.reshape(b, hq, d)
         k = k.reshape(b, hkv, d)
@@ -339,18 +356,22 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
             kv_all = (upd(kv_all[0], kc), upd(kv_all[1], vc))
         return ffn_tail(x, att, lp, kv_all, li)
 
+    # only small per-layer tensors ride the scan xs (norms, lora adapters);
+    # the big quantized banks stay closure-invariant for the stacked kernel
+    small_layers = {k: v for k, v in params["layers"].items()
+                    if k not in _BIG_WEIGHTS}
     if env.env_bool("SKT_DECODE_UNROLL", False):
         # Python-unrolled layer loop: static layer indices, no lax.scan.
         # Escape hatch for XLA:TPU compile pathologies with aliased pallas
         # custom-calls inside while loops (observed with SKT_DECODE_V4=2).
         carry = (x, kv_cache, jnp.int32(0))
         for li_static in range(cfg.num_layers):
-            lp = jax.tree.map(lambda a: a[li_static], params["layers"])
+            lp = jax.tree.map(lambda a: a[li_static], small_layers)
             carry, _ = layer(carry, lp)
         x, kv_cache, _ = carry
     else:
         (x, kv_cache, _), _ = jax.lax.scan(
-            layer, (x, kv_cache, jnp.int32(0)), params["layers"]
+            layer, (x, kv_cache, jnp.int32(0)), small_layers
         )
 
     if flat:   # restore the external [L, P, ...] layout (free bitcast)

@@ -70,10 +70,20 @@ def _w8a8_kernel(x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref, *, k_tiles):
 
 def quant_matmul_int8_pallas(
     x_q, w_q, x_scale, w_scale, out_dtype=jnp.bfloat16,
-    block_m=256, block_n=256, block_k=512,
+    block_m=256, block_n=None, block_k=None,
 ):
     m, k = x_q.shape
     _, n = w_q.shape
+    if block_n is None or block_k is None:
+        # Decode-shape GEMMs (small m) are pure weight streams: use big
+        # [block_k, block_n] weight tiles so the HBM pipeline sees few, large
+        # DMAs (measured 2026-08-17: 256x512 tiles ran at ~340 GB/s at m=64).
+        if m <= 128:
+            block_n = block_n or 512
+            block_k = block_k or 1024
+        else:
+            block_n = block_n or 256
+            block_k = block_k or 512
     block_m, block_n, block_k = min(block_m, m), min(block_n, n), min(block_k, k)
     k_tiles = cdiv(k, block_k)
     grid = (cdiv(m, block_m), cdiv(n, block_n), k_tiles)
@@ -103,6 +113,36 @@ def quant_matmul_int8(x_q, w_q, x_scale, w_scale, bias=None, out_dtype=jnp.bfloa
     if use_pallas() and bias is None and x_q.shape[0] >= 8:
         return quant_matmul_int8_pallas(x_q, w_q, x_scale, w_scale, out_dtype=out_dtype)
     return quant_matmul_int8_ref(x_q, w_q, x_scale, w_scale, bias, out_dtype)
+
+
+def quant_matmul_int8_stacked(x_q, w_q_stacked, li, x_scale, w_scale_stacked,
+                              out_dtype=jnp.bfloat16):
+    """Per-layer W8A8 GEMM reading straight out of a stacked [L, K, N] weight
+    bank: the (traced) layer index `li` rides the scalar-prefetch channel into
+    the BlockSpec index_map, so the kernel DMAs only layer li's tiles.
+
+    Why this exists: model decode scans over layers with stacked weights. An
+    XLA int8 dot fuses the per-layer dynamic-slice into the dot; a pallas_call
+    operand CANNOT fuse a slice — XLA materializes a full per-layer weight
+    copy (~hundreds of MB/layer/step), which measured 4.4x slower end-to-end
+    (445 vs ~1978 tok/s, 2026-08-17). Indexing the bank inside the kernel
+    makes the weight stream copy-free again while keeping the Pallas tier.
+
+    x_q [M, K] int8, w_q_stacked [L, K, N] int8, x_scale [M, 1] f32,
+    w_scale_stacked [L, N] f32, li scalar int32 (may be traced).
+    """
+    m = x_q.shape[0]
+    if use_pallas() and m >= 8:
+        # one m-tile per call when m is small (decode batches); the grouped
+        # kernel requires m % block_m == 0
+        block_m = m if m <= 256 or m % 256 else 256
+        tile_map = jnp.full((m // block_m,), li, jnp.int32)
+        return grouped_matmul_int8_pallas(
+            x_q, w_q_stacked, x_scale, w_scale_stacked, tile_map,
+            out_dtype=out_dtype, block_m=block_m, block_n=512, block_k=1024)
+    w = jax.lax.dynamic_index_in_dim(w_q_stacked, li, 0, keepdims=False)
+    ws = jax.lax.dynamic_index_in_dim(w_scale_stacked, li, 0, keepdims=False)
+    return quant_matmul_int8_ref(x_q, w, x_scale, ws, out_dtype=out_dtype)
 
 
 # ------------------------------------------------------- soft-FP8 W8A16 (blockwise)

@@ -155,7 +155,7 @@ def _scatter_kernel(
 
 def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
                     num_ranks, slices_per_rank, out_rows, symmetric,
-                    sym_chunks, collective_id=0):
+                    sym_chunks):
     """One launch of the generic kernel. scales may be None.
 
     Returns (out [out_rows, H], s_out [out_rows, 1] | None)."""
@@ -189,8 +189,13 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
         ),
         out_shape=[jax.ShapeDtypeStruct((out_rows, h), x.dtype),
                    jax.ShapeDtypeStruct((out_rows, 1), scales.dtype)],
+        # NB: no collective_id — the kernel synchronizes purely through its
+        # own per-launch DMA semaphores (make_async_remote_copy), and Mosaic
+        # rejects collective_id without a get_barrier_semaphore() user
+        # ("collective_id has to be unspecified ... when not using a custom
+        # barrier", observed on v5e in the r2 bench sweep).
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id,
+            has_side_effects=True,
         ),
         interpret=interpret_mode(),
     )(send_cnt.reshape(-1).astype(jnp.int32),
@@ -320,7 +325,7 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         recv_flat, s_flat = _remote_scatter(
             x_send, s_send, counts, aligned_offsets, dst_off, recv_counts,
             num_ranks=r, slices_per_rank=el, out_rows=el * r * maxt,
-            symmetric=symmetric, sym_chunks=sym_chunks, collective_id=0)
+            symmetric=symmetric, sym_chunks=sym_chunks)
         recv_x = recv_flat.reshape(el, r * maxt, h)
         recv_scales = s_flat.reshape(el, r * maxt) if s_flat is not None else None
 
@@ -373,7 +378,7 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
             x.reshape(el * r * maxt, h), None,
             hd.recv_counts, src_off, their_aligned, hd.send_counts,
             num_ranks=r, slices_per_rank=el, out_rows=sbuf,
-            symmetric=symmetric, sym_chunks=sym_chunks, collective_id=1)
+            symmetric=symmetric, sym_chunks=sym_chunks)
 
         # Weighted sum over the k copies at the source (+0 for invalid).
         row = jnp.where(hd.copy_slot < tk,
