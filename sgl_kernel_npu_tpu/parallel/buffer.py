@@ -54,6 +54,7 @@ class Buffer:
         self.num_max_dispatch_tokens_per_rank = num_max_dispatch_tokens_per_rank
 
         self._last_notify_counts = None
+        self._jit_cache: dict = {}
         n_name, ll_name = env.deep_use_mode()
         self._normal = get_normal_strategy(normal_strategy or n_name)
         self._low_latency = get_low_latency_strategy(low_latency_strategy or ll_name)
@@ -65,14 +66,24 @@ class Buffer:
 
     # -------------------------------------------------------------- helpers
 
-    def _smap(self, fn, in_specs, out_specs):
-        return jax.jit(
+    def _smap(self, fn, in_specs, out_specs, key=None):
+        """jit(shard_map(fn)). `key` (a hashable tuple of the call site's
+        closed-over STATICS) enables caching the jitted callable on the
+        Buffer — without it every API call builds a fresh closure, which is a
+        jit cache miss, i.e. a full retrace+recompile per call (measured
+        ~3.5 s per fused_deep_moe invocation before caching)."""
+        if key is not None and key in self._jit_cache:
+            return self._jit_cache[key]
+        jitted = jax.jit(
             jax.shard_map(
                 fn, mesh=self.mesh,
                 in_specs=in_specs, out_specs=out_specs,
                 check_vma=False,
             )
         )
+        if key is not None:
+            self._jit_cache[key] = jitted
+        return jitted
 
     def _ep(self, *rest):
         return P(self.axis_name, *rest)
@@ -86,6 +97,7 @@ class Buffer:
             lambda idx: _layout(idx, self.num_experts, self.num_ranks),
             in_specs=(self._ep(),),
             out_specs=(self._ep(), self._ep(), self._ep()),
+            key=("layout",),
         )
         return fn(topk_idx)
 
@@ -130,6 +142,7 @@ class Buffer:
 
         out = self._smap(
             fn, in_specs=(self._ep(),), out_specs=tuple([self._ep()] * 6),
+            key=("notify",),
         )(topk_idx)
         self._last_notify_counts = out[0]
         return out
@@ -228,6 +241,7 @@ class Buffer:
             fn,
             in_specs=(self._ep(), self._ep(), self._ep()),
             out_specs=tuple([self._ep()] * 13),
+            key=("dispatch", quant_mode, capacity_factor, config),
         )(x, topk_idx, topk_weights)
         (recv_x, scales, recv_idx, recv_w, recv_count, per_expert,
          s_tok, s_valid, s_counts, i_off, o_off, r_sizes, r_off) = out
@@ -273,6 +287,7 @@ class Buffer:
             fn,
             in_specs=tuple([self._ep()] * 9),
             out_specs=(self._ep(), self._ep()),
+            key=("combine", config, hd.num_tokens, hd.topk, hd.sbuf, hd.rbuf),
         )(x, topk_weights, hd.send_slot_token, hd.send_valid, hd.send_counts,
           hd.input_offsets, hd.output_offsets, hd.recv_sizes, hd.recv_offsets)
         if combine_send_cost_stats is not None:
@@ -319,6 +334,8 @@ class Buffer:
             fn,
             in_specs=(self._ep(), self._ep()),
             out_specs=tuple([self._ep()] * 8),
+            key=(("ll_dispatch", quant_mode, shared)
+                 if elastic_info is None else None),
         )(x, topk_idx)
         recv_x, scales, packed_count, layout_range, c_slot, s_counts, i_off, r_counts = out
         if cumulative_local_expert_recv_stats is not None:
@@ -370,6 +387,7 @@ class Buffer:
             fn,
             in_specs=tuple([self._ep()] * 7),
             out_specs=self._ep(),
+            key=("fused_moe", capacity_rows, chunk_rounds),
         )(x, topk_idx, topk_weights, w13_q, w13_scale, w2_q, w2_scale)
 
     def low_latency_combine(self, x, topk_idx, topk_weights, handle):
@@ -392,5 +410,7 @@ class Buffer:
             fn,
             in_specs=tuple([self._ep()] * 7),
             out_specs=self._ep(),
+            key=("ll_combine", hd.num_tokens, hd.topk, hd.max_tokens,
+                 hd.num_local_experts, hd.num_ranks),
         )(x, topk_idx, topk_weights, hd.copy_slot, hd.send_counts,
           hd.input_offsets, hd.recv_counts)
