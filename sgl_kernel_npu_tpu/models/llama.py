@@ -767,6 +767,12 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
                < prefix_lens[:, None, None] + 1 + jnp.arange(t)[None, :, None])
     allowed &= (jnp.arange(t)[None, :, None] < valid_lens[:, None, None])
 
+    # flash paged-prefill kernel per sequence (same gate as the chunk path);
+    # padded query rows produce garbage-but-finite outputs that only land in
+    # their own (ignored) logits rows — their cache slots were already dropped
+    flash = use_pallas() and (interpret_mode()
+                              or (d % 128 == 0 and ps % 16 == 0))
+
     def layer(carry, inputs):
         x, = carry
         lp, kv_l = inputs
@@ -781,28 +787,39 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
                 k.reshape(n_tok, hkv, d), v.reshape(n_tok, hkv, d),
                 kv_l["k"], kv_l["v"], kv_l["ks"], kv_l["vs"], flat_slots)
             kv_l = {"k": kc, "v": vc, "ks": ks, "vs": vs}
-            kdq = kc[block_tables].astype(jnp.float32) * \
-                ks[block_tables].transpose(0, 1, 2, 4, 3)
-            vdq = vc[block_tables].astype(jnp.float32) * \
-                vs[block_tables].transpose(0, 1, 2, 4, 3)
-            kp = kdq.transpose(0, 2, 1, 3, 4).reshape(s, hkv, npos, d)
-            vp = vdq.transpose(0, 2, 1, 3, 4).reshape(s, hkv, npos, d)
         else:
             kc, vc = reshape_and_cache_gqa_page_major(
                 k.reshape(n_tok, hkv, d), v.reshape(n_tok, hkv, d),
                 kv_l[0], kv_l[1], flat_slots)
             kv_l = (kc, vc)
-            kp = kc[block_tables].transpose(0, 2, 1, 3, 4).reshape(
-                s, hkv, npos, d).astype(jnp.float32)
-            vp = vc[block_tables].transpose(0, 2, 1, 3, 4).reshape(
-                s, hkv, npos, d).astype(jnp.float32)
-        qh = q.reshape(s, t, hkv, g, d).astype(jnp.float32)
 
-        sc = jnp.einsum("sthgd,shnd->shgtn", qh, kp) * sm_scale
-        sc = jnp.where(allowed[:, None, None], sc, -1e30)
-        p = jax.nn.softmax(sc, axis=-1)
-        att = jnp.einsum("shgtn,shnd->sthgd", p, vp)
-        att = att.reshape(s, t, hq * d).astype(x.dtype)
+        if flash:
+            att = jnp.stack([
+                paged_prefill_attention(
+                    q[si], kv_l, block_tables[si], prefix_lens[si], sm_scale,
+                    ps, block_q=min(128, t))
+                for si in range(s)])
+            att = att.reshape(s, t, hq * d).astype(x.dtype)
+        else:
+            if cfg.int8_kv:
+                kdq = kc[block_tables].astype(jnp.float32) * \
+                    ks[block_tables].transpose(0, 1, 2, 4, 3)
+                vdq = vc[block_tables].astype(jnp.float32) * \
+                    vs[block_tables].transpose(0, 1, 2, 4, 3)
+                kp = kdq.transpose(0, 2, 1, 3, 4).reshape(s, hkv, npos, d)
+                vp = vdq.transpose(0, 2, 1, 3, 4).reshape(s, hkv, npos, d)
+            else:
+                kp = kc[block_tables].transpose(0, 2, 1, 3, 4).reshape(
+                    s, hkv, npos, d).astype(jnp.float32)
+                vp = vc[block_tables].transpose(0, 2, 1, 3, 4).reshape(
+                    s, hkv, npos, d).astype(jnp.float32)
+            qh = q.reshape(s, t, hkv, g, d).astype(jnp.float32)
+
+            sc = jnp.einsum("sthgd,shnd->shgtn", qh, kp) * sm_scale
+            sc = jnp.where(allowed[:, None, None], sc, -1e30)
+            p = jax.nn.softmax(sc, axis=-1)
+            att = jnp.einsum("shgtn,shnd->sthgd", p, vp)
+            att = att.reshape(s, t, hq * d).astype(x.dtype)
         att_flat = att.reshape(n_tok, -1)
         wo_out = _qmm(att_flat, lp["wo"])
         if lora_ids is not None:
