@@ -80,3 +80,51 @@ def lightning_indexer_paged(q, k_cache, weights, block_table, seq_lens,
         block_table, jnp.clip(top_pos // ps, 0, max_pages - 1), axis=1)
     slot = page_of * ps + top_pos % ps
     return jnp.where(top_scores > _NEG_INF / 2, slot, -1).astype(jnp.int32)
+
+
+def lightning_indexer_varlen(q, k, weights, actual_seq_lengths_query,
+                             actual_seq_lengths_key, sparse_count: int = 2048,
+                             causal: bool = True):
+    """Varlen (TND) layout: flat packed sequences, prefix-sum boundaries.
+
+    Ref contract (csrc/lightning_indexer/README.md:10-38, layout 'TND'):
+    q [T, G, D] / weights [T, G] flat over all batches;
+    k [Tk, D]; actual_seq_lengths_{query,key} are PREFIX SUMS per batch
+    (element i = total tokens of batches 0..i), so batch i spans
+    [cu[i-1], cu[i]).  Causal alignment is at the sequence END (query j of a
+    batch with Sq queries / Sk keys sees keys with local pos <= j + Sk - Sq).
+
+    Returns (topk_idx [T, sparse_count] int32 LOCAL key positions within the
+    token's own batch, -1 padded; scores [T, Tk] flat masked scores).
+    """
+    t, g, d = q.shape
+    tk = k.shape[0]
+    cu_q = jnp.asarray(actual_seq_lengths_query, jnp.int32)
+    cu_k = jnp.asarray(actual_seq_lengths_key, jnp.int32)
+
+    seg_q = jnp.searchsorted(cu_q, jnp.arange(t), side="right")
+    seg_k = jnp.searchsorted(cu_k, jnp.arange(tk), side="right")
+    start_q = jnp.concatenate([jnp.zeros(1, jnp.int32), cu_q[:-1]])
+    start_k = jnp.concatenate([jnp.zeros(1, jnp.int32), cu_k[:-1]])
+    len_q = cu_q - start_q
+    len_k = cu_k - start_k
+
+    local_q = jnp.arange(t) - start_q[seg_q]
+    local_k = jnp.arange(tk) - start_k[seg_k]
+
+    s = jnp.einsum("tgd,kd->tgk", q.astype(jnp.float32),
+                   k.astype(jnp.float32))
+    scores = jnp.einsum("tgk,tg->tk", jax.nn.relu(s),
+                        weights.astype(jnp.float32))
+
+    valid = seg_q[:, None] == seg_k[None, :]
+    if causal:
+        frontier = local_q + (len_k - len_q)[seg_q]   # end-aligned
+        valid &= local_k[None, :] <= frontier[:, None]
+    scores = jnp.where(valid, scores, _NEG_INF)
+
+    kk = min(sparse_count, tk)
+    top_scores, top_idx = jax.lax.top_k(scores, kk)
+    top_local = jnp.take(local_k, top_idx)
+    return (jnp.where(top_scores > _NEG_INF / 2, top_local, -1)
+            .astype(jnp.int32), scores)

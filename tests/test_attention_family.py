@@ -260,3 +260,39 @@ def test_split_qkvgate_gemma(rng):
         gk = np.stack([rope_rot(gk[j], sin[i], cos[i]) for j in range(nkvh)])
         assert_close(np.asarray(k)[i].reshape(nkvh, hd), gk, rtol=1e-3, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(v)[i], x[i, 2 * qh + kvh:])
+
+
+def test_lightning_indexer_varlen_tnd(rng):
+    """TND varlen layout (ref README layout 'TND'): two ragged batches packed
+    flat; every token's top-k must match a per-batch numpy oracle with
+    end-aligned causality."""
+    g, d = 2, 16
+    len_q = [3, 5]
+    len_k = [10, 7]
+    cu_q = np.cumsum(len_q).astype(np.int32)
+    cu_k = np.cumsum(len_k).astype(np.int32)
+    t, tk = int(cu_q[-1]), int(cu_k[-1])
+    q = rng.standard_normal((t, g, d), dtype=np.float32)
+    k = rng.standard_normal((tk, d), dtype=np.float32)
+    w = rng.random((t, g)).astype(np.float32)
+
+    idx, _ = li.lightning_indexer_varlen(
+        jnp.array(q), jnp.array(k), jnp.array(w),
+        jnp.array(cu_q), jnp.array(cu_k), sparse_count=4)
+
+    qs, ks = 0, 0
+    for bi in range(2):
+        lq, lk = len_q[bi], len_k[bi]
+        for j in range(lq):
+            scores = np.einsum("gk,g->k",
+                               np.maximum(np.einsum(
+                                   "gd,kd->gk", q[qs + j], k[ks:ks + lk]), 0),
+                               w[qs + j])
+            frontier = j + lk - lq          # end-aligned causal
+            valid = frontier + 1
+            order = np.argsort(-scores[:valid], kind="stable")[:4]
+            row = np.asarray(idx)[qs + j]
+            got = set(row[row >= 0].tolist())
+            assert got == set(order.tolist()), (bi, j)
+        qs += lq
+        ks += lk
