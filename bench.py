@@ -83,7 +83,14 @@ def run_bench(args):
         iters = min(iters, 10)
 
     page_size = cfg.page_size
-    max_pages = -(-ctx // page_size)
+    # K greedy decode steps run INSIDE one jit (lax.fori_loop): dispatching
+    # single steps through the axon tunnel pays a ~3.4 ms RTT floor per step
+    # (measured 2026-08-17), which is a dev-harness artifact, not chip time.
+    # Size the block tables for the tokens generated across all reps.
+    k_steps = 8 if args.smoke else 32
+    reps = 3
+    total_new = k_steps * (1 + reps)
+    max_pages = -(-(ctx + total_new) // page_size)
     num_pages = batch * max_pages + 1
 
     params = llama.init_params(cfg, 0)
@@ -94,39 +101,38 @@ def run_bench(args):
         rng.permutation(num_pages - 1)[: batch * max_pages].reshape(batch, max_pages) + 1,
         jnp.int32,
     )
-    seq_lens = jnp.full((batch,), ctx, jnp.int32)
-    positions = seq_lens - 1
-    slots = (bt[jnp.arange(batch), positions // page_size] * page_size
-             + positions % page_size)
-    ids = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
+    positions0 = jnp.full((batch,), ctx - 1, jnp.int32)
+    ids0 = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
 
-    step = jax.jit(
-        lambda p, kv, i, po, sl, b_, sm: llama.decode_step_kv(p, cfg, kv, i, po, sl, b_, sm),
-        donate_argnums=(1,),
-    )
+    def run_steps(params, kv, ids, pos):
+        """k_steps greedy decode steps on-device (argmax feeds the next id —
+        a real serving dependency chain, so XLA cannot elide any step)."""
+        def body(_, carry):
+            kv, ids, pos = carry
+            seq = pos + 1
+            slots = (bt[jnp.arange(batch), pos // page_size] * page_size
+                     + pos % page_size)
+            logits, kv = llama.decode_step_kv(params, cfg, kv, ids, pos, seq,
+                                              bt, slots)
+            ids = jnp.argmax(logits, -1).astype(jnp.int32)
+            return kv, ids, pos + 1
+        return jax.lax.fori_loop(0, k_steps, body, (kv, ids, pos))
 
-    logits, kv = step(params, kv, ids, positions, seq_lens, bt, slots)
-    float(np.asarray(logits[0, :1])[0])  # device->host sync
+    stepk = jax.jit(run_steps, donate_argnums=(1,))
 
-    # Two-point timing with forced device->host syncs: on tunneled backends
-    # block_until_ready can return before execution, and a single sync carries
-    # ~30ms RPC latency — so measure 1 step and 1+K steps and take the slope.
-    def run_k(k, kv):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            logits, kv = step(params, kv, ids, positions, seq_lens, bt, slots)
-        float(np.asarray(logits[0, :1])[0])
-        return time.perf_counter() - t0, kv
+    kv, ids, pos = stepk(params, kv, ids0, positions0)   # compile + warm
+    int(np.asarray(ids[0]))                              # forced sync
 
-    k_long = max(iters, 5)
     times = []
-    for _ in range(3):
-        t1, kv = run_k(1, kv)
-        tk, kv = run_k(1 + k_long, kv)
-        times.append((tk - t1) / k_long)
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        kv, ids, pos = stepk(params, kv, ids, pos)
+        int(np.asarray(ids[0]))                          # ~3.4ms RTT amortized /k
+        times.append((time.perf_counter() - t0) / k_steps)
     dt = float(np.median(times))
 
     toks_per_s = batch / dt
+    ctx = ctx + total_new // 2   # mean live context for the roofline below
 
     # Speed-of-light: bytes that MUST stream from HBM per decode step.
     h, f, l, v = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size

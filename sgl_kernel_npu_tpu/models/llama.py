@@ -34,9 +34,15 @@ from ..ops.attention.decode_v4 import (decode_fused_v4_int8, decode_v4b_int8,
                                        scatter_stacked_int8)
 from ..ops.attention.decode_v3 import (
     decode_gqa_pallas_v3,
+    decode_gqa_pallas_v3_defer,
     decode_gqa_pallas_v3_int8,
+    decode_gqa_pallas_v3_int8_defer,
     reshape_and_cache_gqa_page_major,
     reshape_and_cache_gqa_page_major_int8,
+)
+from ..ops.attention.decode_v5 import (
+    decode_gqa_pallas_v5_defer,
+    decode_gqa_pallas_v5_int8_defer,
 )
 from ..utils import env, use_pallas
 from ..utils.device import interpret_mode
@@ -240,6 +246,15 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     # chased, without aliased pallas custom-calls (v4=1 fails Mosaic compile
     # on v5e; v4=2 measured 7x slower than v3 — A/B 2026-08-17).
     flat = v4 == 0 and env.env_bool("SKT_DECODE_FLAT", True)
+    tiling_ok = d % 128 == 0 or interpret_mode()
+    # Deferred-write decode (default): the flat cache is READ-ONLY inside the
+    # layer scan — the kernel attends cached tokens and folds the current
+    # token's k/v in from registers; all layers' new tokens are scattered once
+    # AFTER the scan. Scatter-updating a pallas operand inside the scan made
+    # XLA materialize a full cache copy per layer (flat A/B 2026-08-17:
+    # 16.7 -> 9.9 ms/step at L=8 just by avoiding it).
+    defer = (flat and use_pallas() and tiling_ok
+             and env.env_bool("SKT_DECODE_DEFER", True))
     if flat:
         kv_cache = jax.tree.map(
             lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
@@ -356,11 +371,62 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
             kv_all = (upd(kv_all[0], kc), upd(kv_all[1], vc))
         return ffn_tail(x, att, lp, kv_all, li)
 
+    def layer_defer(carry, lp):
+        # read-only cache: attend cached tokens + current token from registers
+        x, li = carry
+        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+        qkv = _qmm_l(h1, big["wqkv"], li)
+        q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+        q = q.reshape(b, hq, d)
+        k = k.reshape(b, hkv, d)
+        v = v.reshape(b, hkv, d)
+        q = apply_rope(q, cos[:, None], sin[:, None])
+        k = apply_rope(k, cos[:, None], sin[:, None])
+
+        bt_l = block_table + li * pages_per_layer
+        cached = seq_lens - 1     # tokens already in the cache
+        # v5 (default): grid-pipelined page fetch — ~6x the in-model page
+        # bandwidth of v3's one-program-per-sequence manual DMA (trace
+        # 2026-08-17: 347us -> ~55us/layer at bs64/ctx256). SKT_DECODE_V5=0
+        # falls back to the v3 defer kernels.
+        v5 = env.env_bool("SKT_DECODE_V5", True)
+        if cfg.int8_kv:
+            fn = (decode_gqa_pallas_v5_int8_defer if v5
+                  else decode_gqa_pallas_v3_int8_defer)
+            att = fn(q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
+                     kv_cache["vs"], cached, bt_l, sm_scale, ps)
+        else:
+            fn = (decode_gqa_pallas_v5_defer if v5
+                  else decode_gqa_pallas_v3_defer)
+            att = fn(q, k, v, kv_cache[0], kv_cache[1], cached, bt_l,
+                     sm_scale, ps)
+        (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
+        return (x2, li2), (k, v)
+
     # only small per-layer tensors ride the scan xs (norms, lora adapters);
     # the big quantized banks stay closure-invariant for the stacked kernel
     small_layers = {k: v for k, v in params["layers"].items()
                     if k not in _BIG_WEIGHTS}
-    if env.env_bool("SKT_DECODE_UNROLL", False):
+    if defer:
+        (x, _), (k_new, v_new) = jax.lax.scan(
+            layer_defer, (x, jnp.int32(0)), small_layers)
+        lcount = cfg.num_layers
+        off = (jnp.arange(lcount, dtype=jnp.int32)
+               * (pages_per_layer * ps))[:, None]
+        slots_all = jnp.where(slot_mapping[None, :] >= 0,
+                              slot_mapping[None, :] + off, -1).reshape(-1)
+        k_new = k_new.reshape(lcount * b, hkv, d)
+        v_new = v_new.reshape(lcount * b, hkv, d)
+        if cfg.int8_kv:
+            kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
+                k_new, v_new, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
+                kv_cache["vs"], slots_all)
+            kv_cache = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+        else:
+            kc, vc = reshape_and_cache_gqa_page_major(
+                k_new, v_new, kv_cache[0], kv_cache[1], slots_all)
+            kv_cache = (kc, vc)
+    elif env.env_bool("SKT_DECODE_UNROLL", False):
         # Python-unrolled layer loop: static layer indices, no lax.scan.
         # Escape hatch for XLA:TPU compile pathologies with aliased pallas
         # custom-calls inside while loops (observed with SKT_DECODE_V4=2).

@@ -173,7 +173,10 @@ def test_decode_verify_step_linear_chain_matches_sequential(rng):
 
 def test_decode_v4_model_path_matches_v3(monkeypatch, rng):
     """SKT_DECODE_V4 + pallas: the fused-kernel decode step produces the same
-    logits and cache as the scatter+v3 path."""
+    logits and cache as the scatter+v3 path (both attend the new token from
+    its quantized cache entry — so pin SKT_DECODE_DEFER=0; the deferred-write
+    default attends the new token exactly and is covered by
+    test_decode_defer_matches_eager)."""
     cfg = llama.tiny_config(int8_kv=True)
     params = llama.init_params(cfg, 2)
     kv1 = llama.init_kv_cache(cfg, 8)
@@ -182,6 +185,7 @@ def test_decode_v4_model_path_matches_v3(monkeypatch, rng):
     b = 2
 
     monkeypatch.setenv("SKT_IMPL", "pallas")
+    monkeypatch.setenv("SKT_DECODE_DEFER", "0")
     for step, lens in enumerate([(1, 1), (2, 2), (3, 3)]):
         seq = jnp.array(lens, jnp.int32)
         pos = seq - 1
@@ -196,6 +200,43 @@ def test_decode_v4_model_path_matches_v3(monkeypatch, rng):
         assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
         assert np.array_equal(np.asarray(kv1["k"]), np.asarray(kv2["k"]))
         assert np.array_equal(np.asarray(kv1["v"]), np.asarray(kv2["v"]))
+
+
+def test_decode_defer_matches_eager(monkeypatch, rng):
+    """Deferred-write decode (default): same greedy tokens and close logits vs
+    the eager scatter-then-attend path over a multi-step decode. The paths
+    differ only in the CURRENT token's attention term (exact bf16 vs its
+    int8 cache roundtrip), so logits agree to quantization noise and the
+    caches hold identically-quantized entries for identical inputs."""
+    for int8_kv in (False, True):
+        cfg = llama.tiny_config(int8_kv=int8_kv)
+        params = llama.init_params(cfg, 2)
+        kv1 = llama.init_kv_cache(cfg, 8)
+        kv2 = jax.tree.map(lambda a: a, kv1)
+        bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+        b = 2
+
+        monkeypatch.setenv("SKT_IMPL", "pallas")
+        for step in range(4):
+            seq = jnp.full((b,), step + 1, jnp.int32)
+            pos = seq - 1
+            slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
+                + pos % cfg.page_size
+            ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+            monkeypatch.setenv("SKT_DECODE_DEFER", "1")
+            lg1, kv1 = llama.decode_step_kv(params, cfg, kv1, ids, pos, seq,
+                                            bt, slots)
+            monkeypatch.setenv("SKT_DECODE_DEFER", "0")
+            lg2, kv2 = llama.decode_step_kv(params, cfg, kv2, ids, pos, seq,
+                                            bt, slots)
+            from .utils import calc_diff
+            assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 5e-3, step
+            if not int8_kv:
+                # bf16 mode: the new-token term is mathematically identical
+                # (no quant roundtrip), caches must match to bf16 rounding
+                for a, b_ in zip(jax.tree.leaves(kv1), jax.tree.leaves(kv2)):
+                    assert np.allclose(np.asarray(a, np.float32),
+                                       np.asarray(b_, np.float32), atol=2e-2)
 
 
 def test_decode_step_tp_matches_single_device(rng):
@@ -294,7 +335,8 @@ def test_prefill_batch_matches_single(rng):
 
 
 def test_decode_v4b_model_path_matches_v3(monkeypatch, rng):
-    """SKT_DECODE_V4=2 (scatter + aliased pass-through attend) == default."""
+    """SKT_DECODE_V4=2 (scatter + aliased pass-through attend) == the eager
+    scatter+v3 path (SKT_DECODE_DEFER=0 — see the v4=1 twin above)."""
     cfg = llama.tiny_config(int8_kv=True)
     params = llama.init_params(cfg, 2)
     kv1 = llama.init_kv_cache(cfg, 8)
@@ -303,6 +345,7 @@ def test_decode_v4b_model_path_matches_v3(monkeypatch, rng):
     b = 2
 
     monkeypatch.setenv("SKT_IMPL", "pallas")
+    monkeypatch.setenv("SKT_DECODE_DEFER", "0")
     from .utils import calc_diff
     for step in range(3):
         seq = jnp.array([step + 1, step + 1], jnp.int32)
