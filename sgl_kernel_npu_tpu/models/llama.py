@@ -44,6 +44,10 @@ from ..ops.attention.decode_v5 import (
     decode_gqa_pallas_v5_defer,
     decode_gqa_pallas_v5_int8_defer,
 )
+from ..ops.attention.decode_v6 import (
+    decode_gqa_pallas_v6_defer,
+    decode_gqa_pallas_v6_int8_defer,
+)
 from ..utils import env, use_pallas
 from ..utils.device import interpret_mode
 from ..ops.quant import per_token_quant_int8
@@ -385,19 +389,22 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
 
         bt_l = block_table + li * pages_per_layer
         cached = seq_lens - 1     # tokens already in the cache
-        # v5 (default): grid-pipelined page fetch — ~6x the in-model page
-        # bandwidth of v3's one-program-per-sequence manual DMA (trace
-        # 2026-08-17: 347us -> ~55us/layer at bs64/ctx256). SKT_DECODE_V5=0
-        # falls back to the v3 defer kernels.
-        v5 = env.env_bool("SKT_DECODE_V5", True)
+        # Attention kernel ladder (SKT_DECODE_ATTN = v6|v5|v3, default v6).
+        # Measured bs64/ctx320 on the v5e: v3 ~530, v5 267, v6 118 us/layer
+        # (see decode_v6.py docstring).
+        which = env.env_str("SKT_DECODE_ATTN", "v6")
+        if not env.env_bool("SKT_DECODE_V5", True):   # legacy escape hatch
+            which = "v3"
         if cfg.int8_kv:
-            fn = (decode_gqa_pallas_v5_int8_defer if v5
-                  else decode_gqa_pallas_v3_int8_defer)
+            fn = {"v6": decode_gqa_pallas_v6_int8_defer,
+                  "v5": decode_gqa_pallas_v5_int8_defer,
+                  "v3": decode_gqa_pallas_v3_int8_defer}[which]
             att = fn(q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
                      kv_cache["vs"], cached, bt_l, sm_scale, ps)
         else:
-            fn = (decode_gqa_pallas_v5_defer if v5
-                  else decode_gqa_pallas_v3_defer)
+            fn = {"v6": decode_gqa_pallas_v6_defer,
+                  "v5": decode_gqa_pallas_v5_defer,
+                  "v3": decode_gqa_pallas_v3_defer}[which]
             att = fn(q, k, v, kv_cache[0], kv_cache[1], cached, bt_l,
                      sm_scale, ps)
         (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)

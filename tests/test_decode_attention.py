@@ -372,3 +372,36 @@ def test_decode_v5_defer_matches_v3_defer(rng):
     o5 = decode_v5.decode_gqa_pallas_v5_int8_defer(
         q, kn, vn, kc8, vc8, ks8, vs8, cached, bt, sm, ps)
     assert_close(o3, o5, atol=2e-2)
+
+
+def test_decode_v6_defer_matches_v3_defer(rng):
+    """v6 (mega-stream, full-matrix heads) == v3 defer within bf16-dot
+    rounding; int8 + bf16, ragged cached lens incl. 0 and page edges."""
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops.attention import decode_v3, decode_v6
+
+    b, hq, hkv, d, ps = 4, 16, 4, 128, 128
+    max_pages, num_pages = 3, 16
+    sm = 1.0 / np.sqrt(d)
+    cached = jnp.array([0, ps - 1, ps, 2 * ps + 4], jnp.int32)
+    bt = jnp.asarray(rng.permutation(num_pages - 1)[: b * max_pages]
+                     .reshape(b, max_pages) + 1, jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+
+    kc = jnp.asarray(rng.standard_normal((num_pages, hkv, ps, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((num_pages, hkv, ps, d)), jnp.bfloat16)
+    o3 = decode_v3.decode_gqa_pallas_v3_defer(q, kn, vn, kc, vc, cached, bt, sm, ps)
+    o6 = decode_v6.decode_gqa_pallas_v6_defer(q, kn, vn, kc, vc, cached, bt, sm, ps)
+    assert_close(o3, o6, atol=3e-2)
+
+    kc8 = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
+    vc8 = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
+    ks8 = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
+    vs8 = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
+    o3 = decode_v3.decode_gqa_pallas_v3_int8_defer(
+        q, kn, vn, kc8, vc8, ks8, vs8, cached, bt, sm, ps)
+    o6 = decode_v6.decode_gqa_pallas_v6_int8_defer(
+        q, kn, vn, kc8, vc8, ks8, vs8, cached, bt, sm, ps)
+    assert_close(o3, o6, atol=3e-2)
