@@ -94,7 +94,10 @@ def run_bench(args):
     num_pages = batch * max_pages + 1
 
     params = llama.init_params(cfg, 0)
-    kv = llama.init_kv_cache(cfg, num_pages)
+    # token-major pages engage the v8 decode (Pallas append, no XLA scatter
+    # on the big caches — see ops/attention/decode_v8.py)
+    kv = llama.init_kv_cache(
+        cfg, num_pages, layout="tm" if cfg.int8_kv else "hm")
 
     rng = np.random.default_rng(0)
     bt = jnp.array(

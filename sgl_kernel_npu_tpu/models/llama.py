@@ -48,6 +48,8 @@ from ..ops.attention.decode_v6 import (
     decode_gqa_pallas_v6_defer,
     decode_gqa_pallas_v6_int8_defer,
 )
+from ..ops.attention import decode_v7 as _v7
+from ..ops.attention import decode_v8 as _v8
 from ..utils import env, use_pallas
 from ..utils.device import interpret_mode
 from ..ops.quant import per_token_quant_int8
@@ -145,17 +147,39 @@ def init_params(cfg: LlamaConfig, key=0) -> Dict[str, Any]:
     }
 
 
-def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16):
+def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16,
+                  sidecar_slots: int | None = None, layout: str = "hm"):
     # PAGE-MAJOR layout [L, pages, Hkv, page_size, D]: one DMA per page fetches
     # all heads (see ops/attention/decode_v3.py).
+    if layout == "tm":
+        # TOKEN-MAJOR pages [L, P, ps*Hkv, D], row r = t*hkv + h: the decode
+        # append is a Pallas strided DMA instead of an XLA scatter (the
+        # head-major layout forces whole-cache relayout copies every step —
+        # see ops/attention/decode_v8.py). int8 only.
+        assert cfg.int8_kv, "token-major layout is the INT8 decode path"
+        rows = cfg.page_size * cfg.num_kv_heads
+        shape = (cfg.num_layers, num_pages, rows, cfg.head_dim)
+        sshape = (cfg.num_layers, num_pages, 1, rows)
+        return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(sshape, jnp.float32),
+                "vs": jnp.zeros(sshape, jnp.float32)}
     shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
     if cfg.int8_kv:
         sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads, 1, cfg.page_size)
         # f32 scales: tiny (no D dim) and bf16's (16,128) tiling rejects the
         # singleton dim on real TPUs
-        return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
-                "ks": jnp.zeros(sshape, jnp.float32),
-                "vs": jnp.zeros(sshape, jnp.float32)}
+        kv = {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+              "ks": jnp.zeros(sshape, jnp.float32),
+              "vs": jnp.zeros(sshape, jnp.float32)}
+        if sidecar_slots is not None:
+            # two-tier decode (decode_v7): bf16 token-major window per slot;
+            # pages become write-once at window granularity
+            from ..ops.attention import decode_v7 as _v7mod
+            hd = cfg.num_kv_heads * cfg.head_dim
+            side = (cfg.num_layers, sidecar_slots, _v7mod.WINDOW, hd)
+            kv["kside"] = jnp.zeros(side, jnp.bfloat16)
+            kv["vside"] = jnp.zeros(side, jnp.bfloat16)
+        return kv
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -186,7 +210,7 @@ def _qmm_l(x, bank, li):
 
 def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                    input_ids, positions, seq_lens, block_table, slot_mapping,
-                   tp_axis=None, lora_ids=None):
+                   tp_axis=None, lora_ids=None, side_idx=None):
     """One continuous-batching decode step over a KV pytree.
 
     kv_cache: (k_cache, v_cache) tuple (bf16 mode) or
@@ -259,7 +283,29 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     # 16.7 -> 9.9 ms/step at L=8 just by avoiding it).
     defer = (flat and use_pallas() and tiling_ok
              and env.env_bool("SKT_DECODE_DEFER", True))
-    if flat:
+    # Two-tier decode (decode_v7) engages iff the cache carries a sidecar
+    # (init_kv_cache(..., sidecar_slots=...)): write-once pages + bf16 token
+    # window kill the per-step whole-cache relayout copies the mid-page
+    # scatter forced (4.9 ms/step at 8B/bs64 — fori-loop trace 2026-08-17).
+    has_side = (isinstance(kv_cache, dict) and "kside" in kv_cache)
+    if has_side:
+        assert defer and cfg.int8_kv, \
+            "sidecar caches require the deferred int8 pallas decode path"
+        side_slots = kv_cache["kside"].shape[1]
+        if side_idx is None:
+            side_idx = jnp.arange(b, dtype=jnp.int32)
+    # Token-major pages (decode_v8): detected from the cache rank — tm k is
+    # [L, P, ps*hkv, D] (4-D) vs head-major [L, P, hkv, ps, D] (5-D). The
+    # append becomes a Pallas strided DMA; only scales go through XLA.
+    is_tm = (isinstance(kv_cache, dict) and not has_side
+             and kv_cache["k"].ndim == 4)
+    if is_tm:
+        assert defer and cfg.int8_kv, \
+            "token-major caches require the deferred int8 pallas decode path"
+    if flat and not is_tm:
+        # tm caches stay 4-D [L, P, ...]: the v8 kernels select the layer via
+        # a scalar (reshaping the 600 MB cache materializes as a relayout
+        # copy per array per step — v8 loop trace 2026-08-18)
         kv_cache = jax.tree.map(
             lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
             kv_cache)
@@ -389,6 +435,23 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
 
         bt_l = block_table + li * pages_per_layer
         cached = seq_lens - 1     # tokens already in the cache
+        if has_side:
+            qbd = _v7.make_q_blockdiag(q, hkv)
+            srow = side_idx + li * side_slots
+            att = _v7.decode_gqa_pallas_v7_int8(
+                q, qbd, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
+                kv_cache["vs"], kv_cache["kside"], kv_cache["vside"],
+                srow, cached, bt_l, sm_scale, ps,
+                window=kv_cache["kside"].shape[-2])
+            (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
+            return (x2, li2), (k, v)
+        if is_tm:
+            att = _v8.decode_gqa_pallas_v8_int8_defer(
+                q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
+                kv_cache["vs"], cached, block_table, sm_scale, ps,
+                layer_idx=li)
+            (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
+            return (x2, li2), (k, v)
         # Attention kernel ladder (SKT_DECODE_ATTN = v6|v5|v3, default v6).
         # Measured bs64/ctx320 on the v5e: v3 ~530, v5 267, v6 118 us/layer
         # (see decode_v6.py docstring).
@@ -418,21 +481,77 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         (x, _), (k_new, v_new) = jax.lax.scan(
             layer_defer, (x, jnp.int32(0)), small_layers)
         lcount = cfg.num_layers
-        off = (jnp.arange(lcount, dtype=jnp.int32)
-               * (pages_per_layer * ps))[:, None]
-        slots_all = jnp.where(slot_mapping[None, :] >= 0,
-                              slot_mapping[None, :] + off, -1).reshape(-1)
         k_new = k_new.reshape(lcount * b, hkv, d)
         v_new = v_new.reshape(lcount * b, hkv, d)
-        if cfg.int8_kv:
-            kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
-                k_new, v_new, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
-                kv_cache["vs"], slots_all)
+        if has_side:
+            w = kv_cache["kside"].shape[-2]
+            cached = seq_lens - 1
+            rows_all = (side_idx[None, :]
+                        + jnp.arange(lcount, dtype=jnp.int32)[:, None]
+                        * side_slots).reshape(-1)
+            offs_all = jnp.broadcast_to((cached % w)[None, :],
+                                        (lcount, b)).reshape(-1)
+            # inactive rows (slot_mapping < 0) must not touch the sidecar
+            rows_all = jnp.where(
+                jnp.broadcast_to(slot_mapping[None, :] >= 0,
+                                 (lcount, b)).reshape(-1),
+                rows_all, kv_cache["kside"].shape[0])
+            ks_c, vs_c = _v7.sidecar_append(
+                kv_cache["kside"], kv_cache["vside"], k_new, v_new,
+                rows_all, offs_all)
+            kv_cache = dict(kv_cache, kside=ks_c, vside=vs_c)
+
+            # window flush: sequences whose page-window completed WITH this
+            # token move their sidecar window into the write-once pages.
+            # UNCONDITIONAL: a lax.cond here makes XLA unify the two branch
+            # buffers by whole-cache copies (4x2.5 ms/step — trace 2026-08-18);
+            # non-flushing rows are dropped via OOB page indices instead, so
+            # the always-on cost is just the sidecar-sized quant+scatter.
+            do_flush_b = (seq_lens % w == 0) & (slot_mapping >= 0)
+            flush_start = seq_lens - w
+            pages_b = block_table[jnp.arange(b),
+                                  jnp.maximum(flush_start, 0) // ps]
+            page_offs_b = jnp.maximum(flush_start, 0) % ps
+            lidx = jnp.arange(lcount, dtype=jnp.int32)[:, None]
+            pages_all = (pages_b[None, :]
+                         + lidx * pages_per_layer).reshape(-1)
+            poffs_all = jnp.broadcast_to(page_offs_b[None, :],
+                                         (lcount, b)).reshape(-1)
+            rows_f = (side_idx[None, :] + lidx * side_slots).reshape(-1)
+            dof = jnp.broadcast_to(do_flush_b[None, :],
+                                   (lcount, b)).reshape(-1)
+            kc, vc, ksc, vsc = _v7.window_flush(
+                kv_cache["k"], kv_cache["v"], kv_cache["ks"], kv_cache["vs"],
+                kv_cache["kside"], kv_cache["vside"], rows_f, pages_all,
+                poffs_all, dof, window=w)
+            kv_cache = dict(kv_cache, k=kc, v=vc, ks=ksc, vs=vsc)
+        elif is_tm:
+            # k/v data: Pallas strided append (2 DMAs/sequence cover all L
+            # layers); scales: XLA scatter on the small arrays only.
+            kq, vq, ksn, vsn = _v8.quant_rows_int8(k_new, v_new)
+            pages_b = jnp.where(slot_mapping >= 0, slot_mapping // ps,
+                                pages_per_layer)
+            offs_b = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+            kc, vc = _v8.append_tm_int8_pallas(
+                kq.reshape(lcount, b, hkv, d), vq.reshape(lcount, b, hkv, d),
+                kv_cache["k"], kv_cache["v"], pages_b, offs_b)
+            ks, vs = _v8.scatter_scales_tm(
+                kv_cache["ks"], kv_cache["vs"], ksn, vsn, pages_b, offs_b)
             kv_cache = {"k": kc, "v": vc, "ks": ks, "vs": vs}
         else:
-            kc, vc = reshape_and_cache_gqa_page_major(
-                k_new, v_new, kv_cache[0], kv_cache[1], slots_all)
-            kv_cache = (kc, vc)
+            off = (jnp.arange(lcount, dtype=jnp.int32)
+                   * (pages_per_layer * ps))[:, None]
+            slots_all = jnp.where(slot_mapping[None, :] >= 0,
+                                  slot_mapping[None, :] + off, -1).reshape(-1)
+            if cfg.int8_kv:
+                kc, vc, ks, vs = reshape_and_cache_gqa_page_major_int8(
+                    k_new, v_new, kv_cache["k"], kv_cache["v"],
+                    kv_cache["ks"], kv_cache["vs"], slots_all)
+                kv_cache = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+            else:
+                kc, vc = reshape_and_cache_gqa_page_major(
+                    k_new, v_new, kv_cache[0], kv_cache[1], slots_all)
+                kv_cache = (kc, vc)
     elif env.env_bool("SKT_DECODE_UNROLL", False):
         # Python-unrolled layer loop: static layer indices, no lax.scan.
         # Escape hatch for XLA:TPU compile pathologies with aliased pallas
@@ -447,9 +566,10 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
             layer, (x, kv_cache, jnp.int32(0)), small_layers
         )
 
-    if flat:   # restore the external [L, P, ...] layout (free bitcast)
+    if flat and not is_tm:   # restore the external [L, ...] layout (free bitcast)
         kv_cache = jax.tree.map(
-            lambda a: a.reshape((cfg.num_layers, pages_per_layer) + a.shape[1:]),
+            lambda a: a.reshape(
+                (cfg.num_layers, a.shape[0] // cfg.num_layers) + a.shape[1:]),
             kv_cache)
 
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)

@@ -405,3 +405,55 @@ def test_decode_v6_defer_matches_v3_defer(rng):
     o6 = decode_v6.decode_gqa_pallas_v6_int8_defer(
         q, kn, vn, kc8, vc8, ks8, vs8, cached, bt, sm, ps)
     assert_close(o3, o6, atol=3e-2)
+
+
+def test_decode_v8_token_major_matches_v6(rng):
+    """v8 (token-major page layout) == v6 on the same logical cache: page row
+    r = t*hkv + h in v8 vs h*ps + t in v6 — outputs agree to dot rounding.
+    Also checks the token-major scatter writes the same logical entries."""
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops.attention import decode_v6, decode_v8
+
+    b, hq, hkv, d, ps = 4, 16, 4, 128, 128
+    max_pages, num_pages = 3, 16
+    sm = 1.0 / np.sqrt(d)
+    cached = jnp.array([0, ps - 1, ps, 2 * ps + 4], jnp.int32)
+    bt = jnp.asarray(rng.permutation(num_pages - 1)[: b * max_pages]
+                     .reshape(b, max_pages) + 1, jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+
+    kc8 = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
+    vc8 = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
+    ks8 = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
+    vs8 = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
+    o6 = decode_v6.decode_gqa_pallas_v6_int8_defer(
+        q, kn, vn, kc8, vc8, ks8, vs8, cached, bt, sm, ps)
+
+    # [P, hkv, ps, d] -> [1(L), P, ps*hkv, d] with row t*hkv+h
+    kc_tm = kc8.transpose(0, 2, 1, 3).reshape(1, num_pages, ps * hkv, d)
+    vc_tm = vc8.transpose(0, 2, 1, 3).reshape(1, num_pages, ps * hkv, d)
+    ks_tm = ks8[:, :, 0, :].transpose(0, 2, 1).reshape(1, num_pages, 1, ps * hkv)
+    vs_tm = vs8[:, :, 0, :].transpose(0, 2, 1).reshape(1, num_pages, 1, ps * hkv)
+    o8 = decode_v8.decode_gqa_pallas_v8_int8_defer(
+        q, kn, vn, kc_tm, vc_tm, ks_tm, vs_tm, cached, bt, sm, ps,
+        layer_idx=0)
+    assert_close(o6, o8, atol=3e-2)
+
+    # scatter parity: write one token per row at mixed slots (incl. drop)
+    from sgl_kernel_npu_tpu.ops.attention import decode_v3
+    slots = jnp.array([bt[0, 0] * ps + 0, bt[1, 0] * ps + (ps - 1),
+                       bt[2, 1] * ps + 0, -1], jnp.int32)
+    k6, v6_, ks6, vs6 = decode_v3.reshape_and_cache_gqa_page_major_int8(
+        kn, vn, kc8, vc8, ks8, vs8, slots)
+    k8, v8_, ks8_, vs8_ = decode_v8.reshape_and_cache_gqa_token_major_int8(
+        kn, vn, kc_tm[0], vc_tm[0], ks_tm[0], vs_tm[0], slots)
+    k8_hm = k8.reshape(num_pages, ps, hkv, d).transpose(0, 2, 1, 3)
+    v8_hm = v8_.reshape(num_pages, ps, hkv, d).transpose(0, 2, 1, 3)
+    ks8_hm = ks8_.reshape(num_pages, ps, hkv).transpose(0, 2, 1)[:, :, None, :]
+    vs8_hm = vs8_.reshape(num_pages, ps, hkv).transpose(0, 2, 1)[:, :, None, :]
+    assert np.array_equal(np.asarray(k6), np.asarray(k8_hm))
+    assert np.array_equal(np.asarray(v6_), np.asarray(v8_hm))
+    assert np.array_equal(np.asarray(ks6), np.asarray(ks8_hm))
+    assert np.array_equal(np.asarray(vs6), np.asarray(vs8_hm))

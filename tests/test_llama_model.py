@@ -360,3 +360,76 @@ def test_decode_v4b_model_path_matches_v3(monkeypatch, rng):
         assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
         assert np.array_equal(np.asarray(kv1["k"]), np.asarray(kv2["k"]))
         assert np.array_equal(np.asarray(kv1["ks"]), np.asarray(kv2["ks"]))
+
+
+def test_decode_v7_two_tier_matches_v6(monkeypatch, rng):
+    """Two-tier decode (int8 pages + bf16 sidecar window): same logits as the
+    sidecar-free defer path across window flushes. Window monkeypatched to 4
+    so 10 steps cross two flush boundaries; recent tokens attend in exact
+    bf16 under v7 so logits agree to int8-quantization noise."""
+    from sgl_kernel_npu_tpu.ops.attention import decode_v7 as v7mod
+
+    monkeypatch.setattr(v7mod, "WINDOW", 4)
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, 2)
+    kv1 = llama.init_kv_cache(cfg, 8, sidecar_slots=2)
+    kv2 = llama.init_kv_cache(cfg, 8)
+    assert kv1["kside"].shape[-2] == 4
+    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    b = 2
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    from .utils import calc_diff
+    for step in range(10):
+        seq = jnp.full((b,), step + 1, jnp.int32)
+        pos = seq - 1
+        slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
+            + pos % cfg.page_size
+        ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        lg1, kv1 = llama.decode_step_kv(params, cfg, kv1, ids, pos, seq, bt, slots)
+        lg2, kv2 = llama.decode_step_kv(params, cfg, kv2, ids, pos, seq, bt, slots)
+        assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 8e-3, step
+    # after 8+ tokens, at least two windows flushed into the pages. At LAYER 0
+    # the k/v inputs are identical across paths (embeddings only), so the
+    # flushed slots must match the v6 path's quantized entries bitwise; later
+    # layers legitimately diverge by ulps (v7's recent tokens attend in exact
+    # bf16, which perturbs x and thus later k/v by quantization steps).
+    k1 = np.asarray(kv1["k"]); k2 = np.asarray(kv2["k"])
+    pages_used = np.asarray(bt[:, :1]).ravel()
+    for pg in pages_used:
+        assert np.array_equal(k1[0, pg, :, :8, :], k2[0, pg, :, :8, :])
+
+
+def test_decode_v8_token_major_model_matches_hm(monkeypatch, rng):
+    """Token-major (v8) model decode == head-major defer path: same logits
+    each step and the same logical cache contents (layout-transposed)."""
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, 2)
+    kv_tm = llama.init_kv_cache(cfg, 8, layout="tm")
+    kv_hm = llama.init_kv_cache(cfg, 8)
+    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+    b = 2
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    from .utils import calc_diff
+    for step in range(5):
+        seq = jnp.full((b,), step + 1, jnp.int32)
+        pos = seq - 1
+        slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
+            + pos % cfg.page_size
+        ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+        lg1, kv_tm = llama.decode_step_kv(params, cfg, kv_tm, ids, pos, seq,
+                                          bt, slots)
+        lg2, kv_hm = llama.decode_step_kv(params, cfg, kv_hm, ids, pos, seq,
+                                          bt, slots)
+        assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
+
+    # cache parity: tm rows r = t*hkv + h <-> hm [hkv, ps, d]
+    l, p = cfg.num_layers, 8
+    hkv, ps, d = cfg.num_kv_heads, cfg.page_size, cfg.head_dim
+    k_tm = np.asarray(kv_tm["k"]).reshape(l, p, ps, hkv, d)
+    k_hm = np.asarray(kv_hm["k"])
+    assert np.array_equal(k_tm.transpose(0, 1, 3, 2, 4), k_hm)
+    ks_tm = np.asarray(kv_tm["ks"]).reshape(l, p, ps, hkv)
+    ks_hm = np.asarray(kv_hm["ks"])[:, :, :, 0, :]
+    assert np.array_equal(ks_tm.transpose(0, 1, 3, 2), ks_hm)
