@@ -50,6 +50,7 @@ from ..ops.attention.decode_v6 import (
 )
 from ..ops.attention import decode_v7 as _v7
 from ..ops.attention import decode_v8 as _v8
+from ..ops.attention import decode_v9 as _v9
 from ..utils import env, use_pallas
 from ..utils.device import interpret_mode
 from ..ops.quant import per_token_quant_int8
@@ -446,7 +447,12 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
             (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
             return (x2, li2), (k, v)
         if is_tm:
-            att = _v8.decode_gqa_pallas_v8_int8_defer(
+            # v9 (page-chunked, default) vs v8 (per-page stream):
+            # SKT_DECODE_ATTN_TM
+            tm_fn = (_v9.decode_gqa_pallas_v9_int8_defer
+                     if env.env_str("SKT_DECODE_ATTN_TM", "v9") == "v9"
+                     else _v8.decode_gqa_pallas_v8_int8_defer)
+            att = tm_fn(
                 q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
                 kv_cache["vs"], cached, block_table, sm_scale, ps,
                 layer_idx=li)

@@ -137,11 +137,11 @@ def quant_matmul_int8_stacked(x_q, w_q_stacked, li, x_scale, w_scale_stacked,
         # kernel requires m % block_m == 0
         block_m = m if m <= 256 or m % 256 else 256
         tile_map = jnp.full((m // block_m,), li, jnp.int32)
-        # narrow outputs stream faster with wider n-tiles (on-chip sweep
-        # 2026-08-17: wqkv N=6144 529->657 GB/s at bn=1024; w13 N=28672
-        # prefers bn=512 at 941 GB/s)
-        n = w_q_stacked.shape[-1]
-        block_n = 1024 if n <= 8192 else 512
+        # bn=512 everywhere: a standalone sweep (2026-08-17) suggested
+        # bn=1024 for narrow N, but IN-MODEL it regressed wqkv 35->81
+        # us/layer (loop trace 2026-08-18) — standalone sweeps mismeasure
+        # ramp effects; trust the in-loop trace
+        block_n = 512
         return grouped_matmul_int8_pallas(
             x_q, w_q_stacked, x_scale, w_scale_stacked, tile_map,
             out_dtype=out_dtype, block_m=block_m, block_n=block_n,

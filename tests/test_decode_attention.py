@@ -457,3 +457,32 @@ def test_decode_v8_token_major_matches_v6(rng):
     assert np.array_equal(np.asarray(v6_), np.asarray(v8_hm))
     assert np.array_equal(np.asarray(ks6), np.asarray(ks8_hm))
     assert np.array_equal(np.asarray(vs6), np.asarray(vs8_hm))
+
+
+def test_decode_v9_chunked_matches_v8(rng):
+    """v9 (page-chunked stream) == v8 on the same token-major cache, across
+    chunk-boundary cached lens (cp=2 so 5 pages span 3 chunks)."""
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.ops.attention import decode_v8, decode_v9
+
+    b, hq, hkv, d, ps = 4, 16, 4, 128, 128
+    max_pages, num_pages = 5, 24
+    sm = 1.0 / np.sqrt(d)
+    cached = jnp.array([0, 2 * ps, 4 * ps + 4, 3 * ps - 1], jnp.int32)
+    bt = jnp.asarray(rng.permutation(num_pages - 1)[: b * max_pages]
+                     .reshape(b, max_pages) + 1, jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.integers(-127, 127, (2, num_pages, ps * hkv, d)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 127, (2, num_pages, ps * hkv, d)), jnp.int8)
+    ks = jnp.asarray(rng.random((2, num_pages, 1, ps * hkv)) * .05, jnp.float32)
+    vs = jnp.asarray(rng.random((2, num_pages, 1, ps * hkv)) * .05, jnp.float32)
+
+    for li in (0, 1):
+        o8 = decode_v8.decode_gqa_pallas_v8_int8_defer(
+            q, kn, vn, kc, vc, ks, vs, cached, bt, sm, ps, layer_idx=li)
+        o9 = decode_v9.decode_gqa_pallas_v9_int8_defer(
+            q, kn, vn, kc, vc, ks, vs, cached, bt, sm, ps, layer_idx=li,
+            chunk_pages=2)
+        assert_close(o8, o9, atol=3e-2)
