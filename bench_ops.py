@@ -332,8 +332,62 @@ def bench_fused_moe(rng, rounds=1):
                   bytes_moved=moved, flops=flops, int_ops=True)
 
 
+def bench_decode_v9_int8(rng):
+    """Token-major page-chunked decode attention (the current default decode
+    kernel — see ops/attention/decode_v9.py). Bytes: live KV + scales."""
+    from sgl_kernel_npu_tpu.ops.attention.decode_v9 import (
+        decode_gqa_pallas_v9_int8_defer)
+
+    b, hq, hkv, d, ps, ctx = 64, 32, 8, 128, 128, 256
+    rows = ps * hkv
+    pages_per = ctx // ps + 1
+    num_pages = b * pages_per + 1
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.integers(-127, 127, (1, num_pages, rows, d)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 127, (1, num_pages, rows, d)), jnp.int8)
+    ks = jnp.asarray(rng.random((1, num_pages, 1, rows)) * .05, jnp.float32)
+    vs = jnp.asarray(rng.random((1, num_pages, 1, rows)) * .05, jnp.float32)
+    cached = jnp.full((b,), ctx, jnp.int32)
+    bt = jnp.asarray(1 + np.arange(b * pages_per).reshape(b, pages_per), jnp.int32)
+
+    fn = jax.jit(lambda q, kn, vn: decode_gqa_pallas_v9_int8_defer(
+        q, kn, vn, kc, vc, ks, vs, cached, bt, 1.0 / np.sqrt(d), ps))
+    sec = timeit(fn, q, kn, vn)
+    kv_bytes = b * (ctx // ps) * hkv * ps * (2 * d + 2 * 4)
+    io = b * hq * d * 2 * 2
+    return report("decode_gqa_v9_int8_b64_ctx256", sec,
+                  bytes_moved=kv_bytes + io,
+                  flops=2 * 2 * b * hq * ctx * d, int_ops=False)
+
+
+def bench_append_tm(rng):
+    """Pallas token-append into token-major pages (replaces the XLA scatter
+    that forced whole-cache relayout copies — ops/attention/decode_v8.py)."""
+    from sgl_kernel_npu_tpu.ops.attention.decode_v8 import append_tm_int8_pallas
+
+    l, b, hkv, d, ps = 32, 64, 8, 128, 128
+    rows = ps * hkv
+    ppl = b * 3 + 1
+    kq = jnp.asarray(rng.integers(-127, 127, (l, b, hkv, d)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 127, (l, b, hkv, d)), jnp.int8)
+    kc = jnp.zeros((l, ppl, rows, d), jnp.int8)
+    vc = jnp.zeros((l, ppl, rows, d), jnp.int8)
+    pages = jnp.asarray(1 + np.arange(b) * 3, jnp.int32)
+    offs = jnp.asarray(np.full(b, 5), jnp.int32)
+
+    fn = jax.jit(lambda kq, vq, kc, vc: append_tm_int8_pallas(
+        kq, vq, kc, vc, pages, offs))
+    sec = timeit(fn, kq, vq, kc, vc)
+    moved = 2 * 2 * l * b * hkv * d     # read+write of k and v rows
+    return report("append_tm_int8_L32_b64", sec, bytes_moved=moved, flops=0)
+
+
 BENCHES = {
     "decode_v3": bench_decode_v3_int8,
+    "decode_v9": bench_decode_v9_int8,
+    "append_tm": bench_append_tm,
     "w8a8": lambda rng: bench_w8a8(rng, 64),
     "w8a8_m1024": lambda rng: bench_w8a8(rng, 1024),
     "gmm_int8": bench_gmm_int8,

@@ -137,15 +137,17 @@ def quant_matmul_int8_stacked(x_q, w_q_stacked, li, x_scale, w_scale_stacked,
         # kernel requires m % block_m == 0
         block_m = m if m <= 256 or m % 256 else 256
         tile_map = jnp.full((m // block_m,), li, jnp.int32)
-        # bn=512 everywhere: a standalone sweep (2026-08-17) suggested
-        # bn=1024 for narrow N, but IN-MODEL it regressed wqkv 35->81
-        # us/layer (loop trace 2026-08-18) — standalone sweeps mismeasure
-        # ramp effects; trust the in-loop trace
-        block_n = 512
+        # bn=512/bk=4096 from FULL-MODEL A/B (2026-08-18: bk 1024->4096 =
+        # 2952->3131 tok/s; bn 1024/2048 both lose to 512). Standalone sweeps
+        # MISMEASURE this kernel (84 GB/s standalone vs 585 in-model) — tune
+        # only through these env overrides in bench.py runs.
+        from ..utils import env as _env
+        block_n = _env.env_int("SKT_GEMM_BN", 512)
+        block_k = _env.env_int("SKT_GEMM_BK", 4096)
         return grouped_matmul_int8_pallas(
             x_q, w_q_stacked, x_scale, w_scale_stacked, tile_map,
             out_dtype=out_dtype, block_m=block_m, block_n=block_n,
-            block_k=1024)
+            block_k=block_k)
     w = jax.lax.dynamic_index_in_dim(w_q_stacked, li, 0, keepdims=False)
     ws = jax.lax.dynamic_index_in_dim(w_scale_stacked, li, 0, keepdims=False)
     return quant_matmul_int8_ref(x_q, w, x_scale, ws, out_dtype=out_dtype)
