@@ -49,7 +49,10 @@ def main():
 def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny config, fast")
-    ap.add_argument("--batch", type=int, default=64)
+    # bs128 is the serving sweet spot on the v5e (2026-08-18 sweep: 3137
+    # tok/s @ 52.9% of roofline at bs64, 6308 @ 61.3% at bs128, 8426 @ 51.7%
+    # at bs256 — the step is weight-stream dominated up to bs128)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--ctx", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--int8-kv", action="store_true", default=True,
