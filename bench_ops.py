@@ -65,11 +65,11 @@ def timeit(fn, *args, k=None, reps=3):
         looped = jax.jit(lambda a: jax.lax.fori_loop(0, n, body, a),
                          static_argnums=())
         o = looped(arrs0)  # compile
-        jax.block_until_ready(o)
-        ts = []
+        _sync(o)           # block_until_ready returns EARLY through the
+        ts = []            # axon tunnel (ROADMAP) — force a device get
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(looped(arrs0))
+            _sync(looped(arrs0))
             ts.append((time.perf_counter() - t0) / n)
         return float(np.median(ts))
 

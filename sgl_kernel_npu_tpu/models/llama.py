@@ -972,6 +972,69 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
     flash = use_pallas() and (interpret_mode()
                               or (d % 128 == 0 and ps % 16 == 0))
 
+    # Token-major caches (decode_v8 layout, 4-D k): DEFER-WRITE prefill — the
+    # cache is read-only inside the layer scan (prefix via the tm flash
+    # kernel, chunk from bf16 operands), and ALL layers' chunk tokens are
+    # quantized + appended once post-scan (Pallas strided DMA; scales via a
+    # dense masked select). See ops/attention/paged_prefill_tm.py.
+    is_tm = isinstance(kv_cache, dict) and kv_cache["k"].ndim == 4
+    if is_tm:
+        assert cfg.int8_kv and flash and lora_ids is None, \
+            "token-major prefill requires int8 + pallas (no LoRA yet)"
+        from ..ops.attention.paged_prefill_tm import paged_prefill_attention_tm
+
+        def layer_tm(carry, inputs):
+            x, li = carry
+            lp = inputs
+            h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+            qkv = _qmm(h1.reshape(n_tok, -1), lp["wqkv"])
+            q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], -1)
+            q = apply_rope(q.reshape(s, t, hq, d), cos[:, :, None],
+                           sin[:, :, None])
+            k = apply_rope(k.reshape(s, t, hkv, d), cos[:, :, None],
+                           sin[:, :, None])
+            v = v.reshape(s, t, hkv, d)
+            att = jnp.stack([
+                paged_prefill_attention_tm(
+                    q[si], k[si], v[si], kv_cache["k"], kv_cache["v"],
+                    kv_cache["ks"], kv_cache["vs"], block_tables[si],
+                    prefix_lens[si], sm_scale, ps, layer_idx=li,
+                    valid_len=valid_lens[si])
+                for si in range(s)])
+            att = att.reshape(s, t, hq * d).astype(x.dtype)
+            x = x + _qmm(att.reshape(n_tok, -1), lp["wo"]).reshape(s, t, -1)
+            h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+            ug = _qmm(h2.reshape(n_tok, -1), lp["w13"])
+            f = cfg.intermediate_size
+            g32 = ug.astype(jnp.float32)
+            act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
+                   * g32[:, f:]).astype(x.dtype)
+            x = x + _qmm(act, lp["w2"]).reshape(s, t, -1)
+            return (x, li + 1), (k, v)
+
+        (x, _), (k_all, v_all) = jax.lax.scan(
+            layer_tm, (x, jnp.int32(0)), params["layers"])
+        lcount = cfg.num_layers
+        kq, vq, ksn, vsn = _v8.quant_rows_int8(
+            k_all.reshape(lcount * n_tok, hkv, d),
+            v_all.reshape(lcount * n_tok, hkv, d))
+        ppl = kv_cache["k"].shape[1]
+        pages_tok = jnp.where(flat_slots >= 0, flat_slots // ps, ppl)
+        offs_tok = jnp.where(flat_slots >= 0, flat_slots % ps, 0)
+        kc, vc = _v8.append_tm_int8_pallas(
+            kq.reshape(lcount, n_tok, hkv, d),
+            vq.reshape(lcount, n_tok, hkv, d),
+            kv_cache["k"], kv_cache["v"], pages_tok, offs_tok)
+        ks, vs = _v8.scatter_scales_prefill_tm(
+            kv_cache["ks"], kv_cache["vs"],
+            ksn.reshape(lcount, s, t, hkv), vsn.reshape(lcount, s, t, hkv),
+            block_tables, prefix_lens, valid_lens)
+        kv_cache = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+        x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+        logits = _qmm(x.reshape(n_tok, -1),
+                      params["lm_head"]).astype(jnp.float32)
+        return logits.reshape(s, t, -1), kv_cache
+
     def layer(carry, inputs):
         x, = carry
         lp, kv_l = inputs

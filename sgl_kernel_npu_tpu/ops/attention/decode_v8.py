@@ -238,6 +238,55 @@ def scatter_scales_tm(k_scales, v_scales, ks, vs, pages, offs):
     return upd(k_scales, ks), upd(v_scales, vs)
 
 
+def scatter_scales_prefill_tm(k_scales, v_scales, ksn, vsn, block_tables,
+                              prefix_lens, valid_lens):
+    """Prefill-chunk scale update as a dense masked select (no scatter).
+
+    Same rationale as scatter_scales_tm, generalized to MANY tokens per page:
+    invert the block tables (page -> owning sequence + logical page, a tiny
+    [S*MP] scatter), derive each page slot's chunk-token index, and gather +
+    select. k_scales/v_scales [L, P, 1, ps*hkv] f32; ksn/vsn [L, S, T, hkv];
+    block_tables [S, MP]; prefix_lens/valid_lens [S]."""
+    l, num_pages, _, rows = k_scales.shape
+    hkv = ksn.shape[-1]
+    ps = rows // hkv
+    s, t = ksn.shape[1], ksn.shape[2]
+    mp = block_tables.shape[1]
+
+    # Only block-table entries inside each sequence's LIVE chunk page range
+    # may claim a page: pad entries (commonly 0) would otherwise collide with
+    # a real page 0 and silently zero its scales (engine bug 2026-08-18).
+    js = jnp.arange(mp, dtype=jnp.int32)[None, :]
+    in_range = ((js * ps < (prefix_lens + valid_lens)[:, None])
+                & ((js + 1) * ps > prefix_lens[:, None])
+                & (valid_lens[:, None] > 0))
+    flat_bt = jnp.where(in_range, block_tables, num_pages).reshape(-1)
+    owner = jnp.full((num_pages,), -1, jnp.int32).at[flat_bt].set(
+        jnp.repeat(jnp.arange(s, dtype=jnp.int32), mp), mode="drop")
+    plog = jnp.zeros((num_pages,), jnp.int32).at[flat_bt].set(
+        jnp.tile(jnp.arange(mp, dtype=jnp.int32), s), mode="drop")
+
+    own = jnp.maximum(owner, 0)
+    off = jnp.arange(ps, dtype=jnp.int32)
+    pos = (plog[:, None] * ps + off[None, :]
+           - prefix_lens[own][:, None])                      # [P, ps]
+    live = ((owner >= 0)[:, None] & (pos >= 0)
+            & (pos < valid_lens[own][:, None]))
+
+    posc = jnp.clip(pos, 0, t - 1)
+
+    # row r = t*hkv + h: expand the per-token mask to per-row
+    live_rows = jnp.repeat(live[:, :, None], hkv, axis=-1
+                           ).reshape(num_pages, 1, rows)[None]
+
+    def upd(cache, new):
+        gathered = new[:, own[:, None], posc, :]             # [L, P, ps, hkv]
+        return jnp.where(live_rows,
+                         gathered.reshape(l, num_pages, 1, rows), cache)
+
+    return upd(k_scales, ksn), upd(v_scales, vsn)
+
+
 def _kernel_v8_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
                     k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
                     kbuf, vbuf, ksbuf, vsbuf, acc_ref, m_ref, l_ref, sems,

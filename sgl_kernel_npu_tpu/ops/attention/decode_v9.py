@@ -33,7 +33,7 @@ from ...utils import interpret_mode
 from .decode_v6 import _finalize_rows
 
 _NEG_INF = -1e30
-NBUF = 4
+NBUF = int(__import__("os").environ.get("SKT_V9_NBUF", "4"))
 CHUNK_PAGES = 4
 
 

@@ -26,8 +26,9 @@ class LlamaEngine:
     def __init__(self, cfg: llama.LlamaConfig, params=None, num_pages: int = 256,
                  decode_batch: int = 8, token_budget: int = 256, seed: int = 0,
                  temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
-                 max_pages: int | None = None):
+                 max_pages: int | None = None, kv_layout: str | None = None):
         self.cfg = cfg
+        self.kv_layout = kv_layout   # None = auto (tm iff int8+pallas)
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self._sample_key = jax.random.PRNGKey(seed ^ 0x5EED)
         self.sched = make_scheduler(num_pages, cfg.page_size,
@@ -47,8 +48,14 @@ class LlamaEngine:
         `_prefill_batch(p, kv, ids, vl, pos, slots, bts, plens)
          -> (logits [S, T, V], kv)`. Subclasses adapt other model families."""
         self.params = params or llama.init_params(cfg, seed)
-        self.kv = llama.init_kv_cache(cfg, num_pages)
+        # token-major pages for int8 serving (decode_v8/v9 + tm prefill —
+        # the only non-relayout-copying write path on v5e); LoRA stays on
+        # the head-major path (tm prefill has no LoRA hook yet)
         lora = "lora_wo_A" in self.params["layers"]
+        from .utils import use_pallas
+        layout = self.kv_layout or (
+            "tm" if (cfg.int8_kv and not lora and use_pallas()) else "hm")
+        self.kv = llama.init_kv_cache(cfg, num_pages, layout=layout)
         self._decode = jax.jit(
             lambda p, kv, i, po, sl, bt, sm, lid: llama.decode_step_kv(
                 p, cfg, kv, i, po, sl, bt, sm,

@@ -433,3 +433,82 @@ def test_decode_v8_token_major_model_matches_hm(monkeypatch, rng):
     ks_tm = np.asarray(kv_tm["ks"]).reshape(l, p, ps, hkv)
     ks_hm = np.asarray(kv_hm["ks"])[:, :, :, 0, :]
     assert np.array_equal(ks_tm.transpose(0, 1, 3, 2), ks_hm)
+
+
+def test_prefill_batch_tm_matches_hm(monkeypatch, rng):
+    """Token-major defer-write batched prefill == head-major write-then-attend
+    prefill: bitwise cache parity (quantization inputs identical) and logits
+    within quantization noise (tm attends the in-flight chunk in exact bf16);
+    then a decode step continues correctly off the tm prefill's cache."""
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, 6)
+    lens = [7, 4]
+    bts = jnp.array([[1, 2, 0], [3, 4, 0]], jnp.int32)
+    toks = [list(rng.integers(0, cfg.vocab_size, n)) for n in lens]
+    ps = cfg.page_size
+
+    def slots_for(si, lo, n):
+        p = jnp.arange(lo, lo + n)
+        return bts[si, p // ps] * ps + p % ps
+
+    t = max(lens)
+    ids = np.zeros((2, t), np.int32)
+    slp = np.full((2, t), -1, np.int32)
+    pos = np.zeros((2, t), np.int32)
+    for si, n in enumerate(lens):
+        ids[si, :n] = toks[si]
+        slp[si, :n] = np.asarray(slots_for(si, 0, n))
+        pos[si, :n] = np.arange(n)
+
+    kv_hm = llama.init_kv_cache(cfg, 8)
+    lg_hm, kv_hm = llama.prefill_batch_step_kv(
+        params, cfg, kv_hm, jnp.array(ids), jnp.array(lens, jnp.int32),
+        jnp.array(pos), jnp.array(slp), bts, jnp.zeros(2, jnp.int32))
+    kv_tm = llama.init_kv_cache(cfg, 8, layout="tm")
+    lg_tm, kv_tm = llama.prefill_batch_step_kv(
+        params, cfg, kv_tm, jnp.array(ids), jnp.array(lens, jnp.int32),
+        jnp.array(pos), jnp.array(slp), bts, jnp.zeros(2, jnp.int32))
+
+    from .utils import calc_diff
+    for si, n in enumerate(lens):
+        assert calc_diff(np.asarray(lg_tm)[si, :n],
+                         np.asarray(lg_hm)[si, :n]) < 8e-3, si
+
+    # LAYER 0's k/v inputs are identical across paths (embeddings only), so
+    # its quantized cache entries must match bitwise; later layers diverge by
+    # ulps (tm attends the in-flight chunk in exact bf16, hm through the
+    # quantized cache), which shifts rounding.
+    l, p = cfg.num_layers, 8
+    hkv, d = cfg.num_kv_heads, cfg.head_dim
+    k_tm = np.asarray(kv_tm["k"]).reshape(l, p, ps, hkv, d)
+    assert np.array_equal(k_tm[0].transpose(0, 2, 1, 3),
+                          np.asarray(kv_hm["k"])[0])
+    ks_tm = np.asarray(kv_tm["ks"]).reshape(l, p, ps, hkv)
+    assert np.array_equal(ks_tm[0].transpose(0, 2, 1),
+                          np.asarray(kv_hm["ks"])[0, :, :, 0, :])
+
+    # second chunk with a non-zero prefix, then one decode step
+    extra = list(rng.integers(0, cfg.vocab_size, 3))
+    ids2 = np.zeros((2, 3), np.int32)
+    slp2 = np.full((2, 3), -1, np.int32)
+    pos2 = np.zeros((2, 3), np.int32)
+    ids2[0] = extra
+    slp2[0] = np.asarray(slots_for(0, 7, 3))
+    pos2[0] = np.arange(7, 10)
+    args2 = (jnp.array(ids2), jnp.array([3, 0], jnp.int32), jnp.array(pos2),
+             jnp.array(slp2), bts, jnp.array([7, 4], jnp.int32))
+    lg2_hm, kv_hm = llama.prefill_batch_step_kv(params, cfg, kv_hm, *args2)
+    lg2_tm, kv_tm = llama.prefill_batch_step_kv(params, cfg, kv_tm, *args2)
+    assert calc_diff(np.asarray(lg2_tm)[0], np.asarray(lg2_hm)[0]) < 8e-3
+
+    seq = jnp.array([11, 5], jnp.int32)
+    dpos = seq - 1
+    dslots = jnp.array([int(slots_for(0, 10, 1)[0]),
+                        int(slots_for(1, 4, 1)[0])], jnp.int32)
+    dids = jnp.array(rng.integers(0, cfg.vocab_size, 2), jnp.int32)
+    dl_hm, _ = llama.decode_step_kv(params, cfg, kv_hm, dids, dpos, seq,
+                                    bts, dslots)
+    dl_tm, _ = llama.decode_step_kv(params, cfg, kv_tm, dids, dpos, seq,
+                                    bts, dslots)
+    assert calc_diff(np.asarray(dl_tm), np.asarray(dl_hm)) < 8e-3

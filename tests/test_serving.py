@@ -326,3 +326,33 @@ def test_lora_requests_do_not_share_prefix_cache(rng):
     assert eng.reqs[r0]["out"] == want_a
     assert eng.reqs[r1]["out"] == want_lora
     assert want_a != want_lora  # adapter actually changes the output
+
+
+def test_engine_token_major_self_consistent(monkeypatch, rng):
+    """With the pallas impl on, an int8 engine runs on token-major pages
+    (decode_v8/v9 + defer-write tm prefill): batched continuous-batching
+    generation must equal one-at-a-time generation on the same tm path
+    (scheduler chunking, padding, radix reuse and the padded decode batch
+    must not change results). Token-level equality VS the head-major engine
+    is deliberately not asserted: tm attends the in-flight chunk in exact
+    bf16, and on the tiny random model that quantization-noise-sized logit
+    delta flips near-tie argmaxes (model-level logit parity is covered by
+    test_prefill_batch_tm_matches_hm)."""
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, 4)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (9, 5, 3)]
+    # shared prefix for the radix-cache path
+    prompts.append(prompts[0][:8] + [1, 2])
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    eng_tm = LlamaEngine(cfg, params=params, num_pages=64, decode_batch=4,
+                         token_budget=64)
+    assert eng_tm.kv["k"].ndim == 4, "pallas int8 engine must pick tm pages"
+    outs = eng_tm.generate(prompts, max_new_tokens=6)
+    assert all(len(o) == 6 for o in outs)
+
+    for i, p in enumerate(prompts):
+        solo = LlamaEngine(cfg, params=params, num_pages=64, decode_batch=4,
+                           token_budget=64)
+        assert solo.kv["k"].ndim == 4
+        assert solo.generate([p], max_new_tokens=6)[0] == outs[i], i
