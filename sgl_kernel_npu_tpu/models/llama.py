@@ -673,6 +673,14 @@ def prefill_chunk_step_kv(params, cfg: LlamaConfig, kv_cache,
     ps = cfg.page_size
     max_pages = block_table.shape[0]
 
+    # token-major caches route through the batched defer-write path (S=1)
+    if isinstance(kv_cache, dict) and kv_cache["k"].ndim == 4:
+        logits, kv_cache = prefill_batch_step_kv(
+            params, cfg, kv_cache, input_ids[None],
+            jnp.array([t], jnp.int32), positions[None], slot_mapping[None],
+            block_table[None], jnp.asarray(prefix_len, jnp.int32)[None])
+        return logits[0], kv_cache
+
     x = params["embed"][input_ids]
     cs = params["cos_sin"][positions]
     cos, sin = cs[:, : d // 2], cs[:, d // 2:]

@@ -512,3 +512,31 @@ def test_prefill_batch_tm_matches_hm(monkeypatch, rng):
     dl_tm, _ = llama.decode_step_kv(params, cfg, kv_tm, dids, dpos, seq,
                                     bts, dslots)
     assert calc_diff(np.asarray(dl_tm), np.asarray(dl_hm)) < 8e-3
+
+
+def test_prefill_chunk_tm_routes_to_batch(monkeypatch, rng):
+    """Single-sequence prefill_chunk_step_kv on a token-major cache routes
+    through the batched defer-write path and matches the hm chunk path."""
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, 3)
+    n = 9
+    toks = jnp.array(rng.integers(0, cfg.vocab_size, n), jnp.int32)
+    bt = jnp.array([1, 2, 3], jnp.int32)
+    ps = cfg.page_size
+    pos = jnp.arange(n, dtype=jnp.int32)
+    slots = bt[pos // ps] * ps + pos % ps
+
+    kv_hm = llama.init_kv_cache(cfg, 8)
+    lg_hm, kv_hm = llama.prefill_chunk_step_kv(
+        params, cfg, kv_hm, toks, pos, slots, bt, jnp.int32(0))
+    kv_tm = llama.init_kv_cache(cfg, 8, layout="tm")
+    lg_tm, kv_tm = llama.prefill_chunk_step_kv(
+        params, cfg, kv_tm, toks, pos, slots, bt, jnp.int32(0))
+
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(lg_tm), np.asarray(lg_hm)) < 8e-3
+    hkv, d = cfg.num_kv_heads, cfg.head_dim
+    k_tm = np.asarray(kv_tm["k"]).reshape(cfg.num_layers, 8, ps, hkv, d)
+    assert np.array_equal(k_tm[0].transpose(0, 2, 1, 3),
+                          np.asarray(kv_hm["k"])[0])
