@@ -98,9 +98,11 @@ def run_bench(args):
 
     params = llama.init_params(cfg, 0)
     # token-major pages engage the v8 decode (Pallas append, no XLA scatter
-    # on the big caches — see ops/attention/decode_v8.py)
+    # on the big caches — see ops/attention/decode_v8.py); tm_layout_ok
+    # falls back to head-major when the tm kernels' Mosaic tiling rules
+    # don't hold (e.g. the smoke config's D=32 on real hardware)
     kv = llama.init_kv_cache(
-        cfg, num_pages, layout="tm" if cfg.int8_kv else "hm")
+        cfg, num_pages, layout="tm" if llama.tm_layout_ok(cfg) else "hm")
 
     rng = np.random.default_rng(0)
     bt = jnp.array(

@@ -148,6 +148,27 @@ def init_params(cfg: LlamaConfig, key=0) -> Dict[str, Any]:
     }
 
 
+def tm_layout_ok(cfg: LlamaConfig) -> bool:
+    """Whether token-major pages can serve this config.
+
+    tm caches require the deferred int8 Pallas decode (decode_step_kv
+    asserts it) and, when compiling for real hardware, Mosaic's tiling
+    rules on the tm kernels: D % 128 == 0 (lane tiling), hkv % 8 == 0
+    (the append's [hkv, D] row-slice DMA — chip-probed 2026-08-18) and
+    ps % 16 == 0 (prefill kernel sublane). Interpret mode (CPU tests) has
+    no tiling rules and keeps tm coverage at tiny shapes."""
+    from ..utils import env, interpret_mode, use_pallas
+
+    if not (cfg.int8_kv and use_pallas()):
+        return False
+    if not (env.decode_v4() == 0 and env.env_bool("SKT_DECODE_FLAT", True)
+            and env.env_bool("SKT_DECODE_DEFER", True)):
+        return False
+    return interpret_mode() or (cfg.head_dim % 128 == 0
+                                and cfg.num_kv_heads % 8 == 0
+                                and cfg.page_size % 16 == 0)
+
+
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16,
                   sidecar_slots: int | None = None, layout: str = "hm"):
     # PAGE-MAJOR layout [L, pages, Hkv, page_size, D]: one DMA per page fetches

@@ -154,7 +154,16 @@ def append_tm_int8_pallas(kq, vq, k_cache, v_cache, pages, offs):
     call materializes as a full relayout copy (~1 ms per reshape per array —
     v8 loop trace 2026-08-18); pages [B] per-layer page index (>= P_l drops
     the row), offs [B] token slot within the page. Returns updated caches
-    (aliased — updated in place, no XLA scatter; module docstring)."""
+    (aliased — updated in place, no XLA scatter; module docstring).
+
+    Mosaic constraint (chip-probed 2026-08-18): the [hkv, D] destination
+    row-slice must sit at an 8-row-aligned offset with an 8-multiple size,
+    so compiled runs need hkv % 8 == 0 (off*hkv is then always aligned);
+    callers with smaller kv-head counts must use the head-major layout."""
+    hkv = kq.shape[2]
+    assert hkv % 8 == 0 or interpret_mode(), (
+        f"append_tm_int8_pallas: Mosaic rejects {hkv}-row int8 slices "
+        "(needs hkv % 8 == 0 on hardware); use the head-major layout")
     kc4, vc4 = k_cache, v_cache
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -50,11 +50,12 @@ class LlamaEngine:
         self.params = params or llama.init_params(cfg, seed)
         # token-major pages for int8 serving (decode_v8/v9 + tm prefill —
         # the only non-relayout-copying write path on v5e); LoRA stays on
-        # the head-major path (tm prefill has no LoRA hook yet)
+        # the head-major path (tm prefill has no LoRA hook yet), and
+        # tm_layout_ok gates on the tm kernels' Mosaic tiling rules
+        # (D % 128, hkv % 8, ps % 16 on hardware).
         lora = "lora_wo_A" in self.params["layers"]
-        from .utils import use_pallas
         layout = self.kv_layout or (
-            "tm" if (cfg.int8_kv and not lora and use_pallas()) else "hm")
+            "tm" if (llama.tm_layout_ok(cfg) and not lora) else "hm")
         self.kv = llama.init_kv_cache(cfg, num_pages, layout=layout)
         self._decode = jax.jit(
             lambda p, kv, i, po, sl, bt, sm, lid: llama.decode_step_kv(
