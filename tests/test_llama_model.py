@@ -540,3 +540,37 @@ def test_prefill_chunk_tm_routes_to_batch(monkeypatch, rng):
     k_tm = np.asarray(kv_tm["k"]).reshape(cfg.num_layers, 8, ps, hkv, d)
     assert np.array_equal(k_tm[0].transpose(0, 2, 1, 3),
                           np.asarray(kv_hm["k"])[0])
+
+
+def test_tm_layout_ok_gates_on_mosaic_tiling(monkeypatch):
+    """tm pages are only eligible when the tm kernels compile on hardware:
+    D % 128 (lane tiling), hkv % 8 (the append's row-slice DMA — chip-probed
+    2026-08-18: hkv=4 is rejected), ps % 16. Interpret mode (CPU tests) keeps
+    tm coverage at tiny shapes."""
+    from sgl_kernel_npu_tpu.utils import device
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    tiny = llama.tiny_config(int8_kv=True)
+    assert llama.tm_layout_ok(tiny)          # interpret mode: any shapes
+
+    monkeypatch.setattr(device, "on_tpu", lambda: True)  # compiled rules
+    assert not llama.tm_layout_ok(tiny)      # D=32, hkv=4, ps=16
+    assert llama.tm_layout_ok(llama.LlamaConfig(int8_kv=True))
+    assert not llama.tm_layout_ok(
+        llama.LlamaConfig(int8_kv=True, num_kv_heads=4))   # hkv % 8
+    assert not llama.tm_layout_ok(llama.LlamaConfig())     # bf16 KV
+    monkeypatch.setenv("SKT_DECODE_DEFER", "0")
+    assert not llama.tm_layout_ok(llama.LlamaConfig(int8_kv=True))
+
+
+def test_engine_auto_layout_falls_back_to_hm(monkeypatch, rng):
+    """The serving auto-select must pick head-major pages when the tm
+    kernels cannot compile for the config (e.g. hkv % 8 != 0 on hardware)."""
+    from sgl_kernel_npu_tpu.serving import LlamaEngine
+    from sgl_kernel_npu_tpu.utils import device
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    cfg = llama.tiny_config(int8_kv=True)
+    monkeypatch.setattr(device, "on_tpu", lambda: True)
+    eng = LlamaEngine(cfg, params=llama.init_params(cfg, 0), num_pages=8)
+    assert eng.kv["k"].ndim == 5, "hkv=4 must auto-select head-major pages"
