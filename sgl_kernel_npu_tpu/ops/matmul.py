@@ -137,13 +137,15 @@ def quant_matmul_int8_stacked(x_q, w_q_stacked, li, x_scale, w_scale_stacked,
         # kernel requires m % block_m == 0
         block_m = m if m <= 256 or m % 256 else 256
         tile_map = jnp.full((m // block_m,), li, jnp.int32)
-        # bn=512/bk=4096 from FULL-MODEL A/B (2026-08-18: bk 1024->4096 =
-        # 2952->3131 tok/s; bn 1024/2048 both lose to 512). Standalone sweeps
-        # MISMEASURE this kernel (84 GB/s standalone vs 585 in-model) — tune
-        # only through these env overrides in bench.py runs.
+        # bn=512/bk=7168 from FULL-MODEL A/B (2026-08-18: bk 1024->4096 =
+        # 2952->3131 tok/s at bs64; bk 4096->7168 = 6308->6434 tok/s at
+        # bs128 — 7168 halves the w2 GEMM's K=14336 into 2 exact tiles;
+        # bn 1024/2048 both lose to 512). Standalone sweeps MISMEASURE this
+        # kernel (84 GB/s standalone vs 585 in-model) — tune only through
+        # these env overrides in bench.py runs.
         from ..utils import env as _env
         block_n = _env.env_int("SKT_GEMM_BN", 512)
-        block_k = _env.env_int("SKT_GEMM_BK", 4096)
+        block_k = _env.env_int("SKT_GEMM_BK", 7168)
         return grouped_matmul_int8_pallas(
             x_q, w_q_stacked, x_scale, w_scale_stacked, tile_map,
             out_dtype=out_dtype, block_m=block_m, block_n=block_n,
