@@ -97,6 +97,9 @@ def run_bench(args):
     num_pages = batch * max_pages + 1
 
     params = llama.init_params(cfg, 0)
+    if os.environ.get("SKT_GEMM_TILED", "1") != "0":
+        # contiguous-DMA weight banks (ops/matmul.py::pretile_weight_bank)
+        params = llama.pretile_big_weights(params)
     # token-major pages engage the v8 decode (Pallas append, no XLA scatter
     # on the big caches — see ops/attention/decode_v8.py); tm_layout_ok
     # falls back to head-major when the tm kernels' Mosaic tiling rules

@@ -213,6 +213,15 @@ def _rmsnorm(x, w, eps):
 
 def _qmm(x, w):
     xq, xs = per_token_quant_int8(x)
+    if w["q"].ndim == 4:
+        # pre-tiled single weight stored as a 1-layer bank (pretile_big_weights
+        # converts lm_head to [1, NB, K, bn] for contiguous-DMA streaming)
+        return quant_matmul_int8_stacked(xq, w["q"], jnp.int32(0), xs,
+                                         w["scale"][None], out_dtype=x.dtype)
+    if w["q"].ndim == 3:
+        # per-layer scan slice of a pre-tiled bank: [NB, K, bn]
+        return quant_matmul_int8_stacked(xq, w["q"][None], jnp.int32(0), xs,
+                                         w["scale"][None], out_dtype=x.dtype)
     return quant_matmul_int8_ref(xq, w["q"], xs, w["scale"], out_dtype=x.dtype)
 
 
@@ -221,6 +230,37 @@ def _qmm(x, w):
 # layer copy, measured 4.4x slower end-to-end) — the stacked kernel indexes
 # the [L, K, N] bank in-kernel via scalar prefetch instead.
 _BIG_WEIGHTS = ("wqkv", "wo", "w13", "w2")
+
+
+def pretile_big_weights(params, block_n=None):
+    """Convert the four stacked banks to the pre-tiled [L, NB, K, bn] layout
+    (ops/matmul.py::pretile_weight_bank) so the decode weight stream runs on
+    contiguous DMA tiles. MUTATES `params` in place and frees each [L, K, N]
+    bank as its tiled copy lands — a functional version would hold both full
+    weight sets (~15 GB on the 8B config) and OOM the 16 GB chip. One-time
+    transform at load/bench time; the stacked GEMM detects the 4-D layout.
+    No-op for already-tiled banks. Returns `params` for convenience."""
+    from ..ops.matmul import pretile_weight_bank
+    from ..utils import env as _env
+
+    def _swap(bank, q_tiled):
+        old = bank["q"]
+        jax.block_until_ready(q_tiled)
+        bank["q"] = q_tiled
+        if isinstance(old, jax.Array):
+            old.delete()
+
+    bn = block_n or _env.env_int("SKT_GEMM_BN", 512)
+    for name in _BIG_WEIGHTS:
+        bank = params["layers"][name]
+        if bank["q"].ndim == 3 and bank["q"].shape[-1] % bn == 0:
+            _swap(bank, pretile_weight_bank(bank["q"], bn))
+    lm = params.get("lm_head")
+    if lm is not None and lm["q"].ndim == 2 and lm["q"].shape[-1] % bn == 0:
+        # lm_head streams ~0.5 GB/step on the 8B config: same contiguous-DMA
+        # treatment, stored as a 1-layer bank (consumed by _qmm's 4-D branch)
+        _swap(lm, pretile_weight_bank(lm["q"][None], bn))
+    return params
 
 
 def _qmm_l(x, bank, li):
@@ -987,6 +1027,11 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
     cs = params["cos_sin"][positions]
     cos, sin = cs[..., : d // 2], cs[..., d // 2:]
     flat_slots = slot_mapping.reshape(-1)
+    # big banks stay OUT of the scan xs (indexed in-kernel by li) — same rule
+    # as decode_step_kv: a pallas operand cannot fuse the scan's per-layer
+    # slice, and pre-tiled 4-D banks (pretile_big_weights) would otherwise
+    # materialize a full per-layer copy every iteration
+    big = params["layers"]
 
     # visibility: gathered row n (logical position) is visible to chunk token
     # i iff n <= prefix_len + i; padded query rows are masked entirely
@@ -1016,7 +1061,7 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
             x, li = carry
             lp = inputs
             h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
-            qkv = _qmm(h1.reshape(n_tok, -1), lp["wqkv"])
+            qkv = _qmm_l(h1.reshape(n_tok, -1), big["wqkv"], li)
             q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], -1)
             q = apply_rope(q.reshape(s, t, hq, d), cos[:, :, None],
                            sin[:, :, None])
@@ -1031,18 +1076,21 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
                     valid_len=valid_lens[si])
                 for si in range(s)])
             att = att.reshape(s, t, hq * d).astype(x.dtype)
-            x = x + _qmm(att.reshape(n_tok, -1), lp["wo"]).reshape(s, t, -1)
+            x = x + _qmm_l(att.reshape(n_tok, -1),
+                           big["wo"], li).reshape(s, t, -1)
             h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
-            ug = _qmm(h2.reshape(n_tok, -1), lp["w13"])
+            ug = _qmm_l(h2.reshape(n_tok, -1), big["w13"], li)
             f = cfg.intermediate_size
             g32 = ug.astype(jnp.float32)
             act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
                    * g32[:, f:]).astype(x.dtype)
-            x = x + _qmm(act, lp["w2"]).reshape(s, t, -1)
+            x = x + _qmm_l(act, big["w2"], li).reshape(s, t, -1)
             return (x, li + 1), (k, v)
 
+        small_layers = {k_: v_ for k_, v_ in params["layers"].items()
+                        if k_ not in _BIG_WEIGHTS}
         (x, _), (k_all, v_all) = jax.lax.scan(
-            layer_tm, (x, jnp.int32(0)), params["layers"])
+            layer_tm, (x, jnp.int32(0)), small_layers)
         lcount = cfg.num_layers
         kq, vq, ksn, vsn = _v8.quant_rows_int8(
             k_all.reshape(lcount * n_tok, hkv, d),
@@ -1065,10 +1113,10 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
         return logits.reshape(s, t, -1), kv_cache
 
     def layer(carry, inputs):
-        x, = carry
+        x, li = carry
         lp, kv_l = inputs
         h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
-        qkv = _qmm(h1.reshape(n_tok, -1), lp["wqkv"])
+        qkv = _qmm_l(h1.reshape(n_tok, -1), big["wqkv"], li)
         q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], -1)
         q = apply_rope(q.reshape(s, t, hq, d), cos[:, :, None], sin[:, :, None])
         k = apply_rope(k.reshape(s, t, hkv, d), cos[:, :, None], sin[:, :, None])
@@ -1112,7 +1160,7 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
             att = jnp.einsum("shgtn,shnd->sthgd", p, vp)
             att = att.reshape(s, t, hq * d).astype(x.dtype)
         att_flat = att.reshape(n_tok, -1)
-        wo_out = _qmm(att_flat, lp["wo"])
+        wo_out = _qmm_l(att_flat, big["wo"], li)
         if lora_ids is not None:
             from ..ops import lora as _lora
             tok_ids = jnp.repeat(lora_ids, t)
@@ -1122,15 +1170,18 @@ def prefill_batch_step_kv(params, cfg: LlamaConfig, kv_cache,
         x = x + wo_out.reshape(s, t, -1)
 
         h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
-        ug = _qmm(h2.reshape(n_tok, -1), lp["w13"])
+        ug = _qmm_l(h2.reshape(n_tok, -1), big["w13"], li)
         f = cfg.intermediate_size
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
                * g32[:, f:]).astype(x.dtype)
-        x = x + _qmm(act, lp["w2"]).reshape(s, t, -1)
-        return (x,), kv_l
+        x = x + _qmm_l(act, big["w2"], li).reshape(s, t, -1)
+        return (x, li + 1), kv_l
 
-    (x,), kv_cache = jax.lax.scan(layer, (x,), (params["layers"], kv_cache))
+    small_layers = {k_: v_ for k_, v_ in params["layers"].items()
+                    if k_ not in _BIG_WEIGHTS}
+    (x, _), kv_cache = jax.lax.scan(
+        layer, (x, jnp.int32(0)), (small_layers, kv_cache))
     x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = _qmm(x.reshape(n_tok, -1), params["lm_head"]).astype(jnp.float32)
     return logits.reshape(s, t, -1), kv_cache

@@ -115,6 +115,93 @@ def quant_matmul_int8(x_q, w_q, x_scale, w_scale, bias=None, out_dtype=jnp.bfloa
     return quant_matmul_int8_ref(x_q, w_q, x_scale, w_scale, bias, out_dtype)
 
 
+def pretile_weight_bank(w_q_stacked, block_n=512):
+    """[L, K, N] -> [L, N//bn, K, bn] so every (block_k, block_n) GEMM weight
+    tile is ONE contiguous HBM chunk.
+
+    In the row-major [L, K, N] bank a (bk, bn) tile is bk strided rows of only
+    bn contiguous bytes (512 B at the tuned bn) — the weight stream, which IS
+    the decode step on an int8 model, pays strided-DMA efficiency on every
+    tile. After pretiling, tile (li, j, kk) is the rows kk*bk..(kk+1)*bk of the
+    contiguous [K, bn] panel j: a single contiguous bk*bn-byte descriptor.
+    `quant_matmul_int8_stacked` detects the 4-D layout and locks block_n to
+    the baked panel width."""
+    l, k, n = w_q_stacked.shape
+    assert n % block_n == 0, (n, block_n)
+    return jnp.transpose(
+        w_q_stacked.reshape(l, k, n // block_n, block_n), (0, 2, 1, 3))
+
+
+def untile_weight_bank(w_tiled):
+    """[L, NB, K, bn] -> [L, K, N] (inverse of pretile_weight_bank)."""
+    l, nb, k, bn = w_tiled.shape
+    return jnp.transpose(w_tiled, (0, 2, 1, 3)).reshape(l, k, nb * bn)
+
+
+def _w8a8_tiled_kernel(eid_ref, x_ref, w_ref, xs_ref, ws_ref, out_ref,
+                       acc_ref, *, k_tiles):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(kk == k_tiles - 1)
+    def _():
+        out = acc_ref[...].astype(jnp.float32) * xs_ref[...] \
+            * ws_ref[0, 0].astype(jnp.float32)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
+def quant_matmul_int8_stacked_tiled(x_q, w_tiled, li, x_scale, w_scale_stacked,
+                                    out_dtype=jnp.bfloat16,
+                                    block_m=None, block_k=None):
+    """Stacked W8A8 GEMM over a PRE-TILED [L, NB, K, bn] bank (see
+    pretile_weight_bank): same scalar-prefetched layer indexing as
+    quant_matmul_int8_stacked, but each weight-tile DMA is contiguous."""
+    m, k = x_q.shape
+    l, nb, _, bn = w_tiled.shape
+    n = nb * bn
+    if block_m is None:
+        block_m = m if m <= 256 or m % 256 else 256
+    from ..utils import env as _env
+    block_k = min(block_k or _env.env_int("SKT_GEMM_BK", 7168), k)
+    k_tiles = cdiv(k, block_k)
+    tile_map = jnp.full((m // block_m,), li, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // block_m, nb, k_tiles),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk, eid: (i, kk)),
+            pl.BlockSpec((1, 1, block_k, bn),
+                         lambda i, j, kk, eid: (eid[i], j, kk, 0)),
+            pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, kk, eid: (eid[i], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, bn), lambda i, j, kk, eid: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.int32)],
+    )
+    return pl.pallas_call(
+        partial(_w8a8_tiled_kernel, k_tiles=k_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + m * n * 2, transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )(tile_map, x_q, w_tiled, x_scale.astype(jnp.float32),
+      w_scale_stacked.reshape(l, 1, n))
+
+
 def quant_matmul_int8_stacked(x_q, w_q_stacked, li, x_scale, w_scale_stacked,
                               out_dtype=jnp.bfloat16):
     """Per-layer W8A8 GEMM reading straight out of a stacked [L, K, N] weight
@@ -132,6 +219,12 @@ def quant_matmul_int8_stacked(x_q, w_q_stacked, li, x_scale, w_scale_stacked,
     w_scale_stacked [L, N] f32, li scalar int32 (may be traced).
     """
     m = x_q.shape[0]
+    if w_q_stacked.ndim == 4:
+        if use_pallas() and m >= 8:
+            return quant_matmul_int8_stacked_tiled(
+                x_q, w_q_stacked, li, x_scale, w_scale_stacked,
+                out_dtype=out_dtype)
+        w_q_stacked = untile_weight_bank(w_q_stacked)
     if use_pallas() and m >= 8:
         # one m-tile per call when m is small (decode batches); the grouped
         # kernel requires m % block_m == 0

@@ -165,3 +165,35 @@ def test_grouped_matmul_int8_pallas_matches_ref(rng):
     for e in range(g):
         pad = np.asarray(pal)[al_off[e] + counts[e]: al_off[e] + al_sizes[e]]
         assert np.all(pad == 0)
+
+
+def test_stacked_tiled_matches_stacked(rng):
+    """Pre-tiled [L, NB, K, bn] bank path == plain stacked [L, K, N] path
+    (and both == the per-layer ref)."""
+    import jax
+
+    l, m, k, n, bn = 3, 16, 64, 128, 32
+    xq = jnp.array(rng.integers(-127, 127, (m, k)).astype(np.int8))
+    wq = jnp.array(rng.integers(-127, 127, (l, k, n)).astype(np.int8))
+    xs = jnp.array((rng.random((m, 1)) * 0.1 + 0.01).astype(np.float32))
+    ws = jnp.array((rng.random((l, n)) * 0.05 + 0.01).astype(np.float32))
+
+    wt = matmul.pretile_weight_bank(wq, bn)
+    assert wt.shape == (l, n // bn, k, bn)
+    np.testing.assert_array_equal(np.asarray(matmul.untile_weight_bank(wt)),
+                                  np.asarray(wq))
+    for li in range(l):
+        ref = matmul.quant_matmul_int8_ref(xq, wq[li], xs, ws[li])
+        plain = matmul.quant_matmul_int8_stacked(xq, wq, jnp.int32(li), xs, ws)
+        tiled = matmul.quant_matmul_int8_stacked(xq, wt, jnp.int32(li), xs, ws)
+        assert_close(np.asarray(plain, np.float32), np.asarray(ref, np.float32),
+                     rtol=2e-2, atol=2e-2)
+        assert_close(np.asarray(tiled, np.float32), np.asarray(ref, np.float32),
+                     rtol=2e-2, atol=2e-2)
+
+    # traced layer index under jit (the scan contract)
+    f = jax.jit(lambda li: matmul.quant_matmul_int8_stacked(xq, wt, li, xs, ws))
+    got = f(jnp.int32(1))
+    want = matmul.quant_matmul_int8_ref(xq, wq[1], xs, ws[1])
+    assert_close(np.asarray(got, np.float32), np.asarray(want, np.float32),
+                 rtol=2e-2, atol=2e-2)
