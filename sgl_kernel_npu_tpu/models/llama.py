@@ -926,6 +926,13 @@ def shard_params_tp(params, cfg: LlamaConfig, tp: int):
     f = cfg.intermediate_size
     f_s = f // tp
     lay = params["layers"]
+    # col_slices slices the LAST axis; on a pretiled 4-D [L, NB, K, bn] bank
+    # that is the bn panel axis — silent mis-sharding. Shard FIRST, pretile
+    # the shards after (or untile_weight_bank before calling this).
+    for name in ("wqkv", "w13", "wo", "w2"):
+        assert lay[name]["q"].ndim == 3, (
+            f"shard_params_tp requires untiled [L, K, N] banks; {name} is "
+            f"{lay[name]['q'].shape} — run pretile_big_weights AFTER sharding")
 
     def col_slices(a, starts_sizes):
         # a [..., cols]; gather per-shard column blocks and stack on axis 0

@@ -224,7 +224,16 @@ def quant_matmul_int8_stacked(x_q, w_q_stacked, li, x_scale, w_scale_stacked,
             return quant_matmul_int8_stacked_tiled(
                 x_q, w_q_stacked, li, x_scale, w_scale_stacked,
                 out_dtype=out_dtype)
-        w_q_stacked = untile_weight_bank(w_q_stacked)
+        # m<8 / non-pallas fallback: slice layer li from the 4-D bank FIRST,
+        # then untile only that [NB, K, bn] layer. Untiling the whole bank
+        # here would make XLA materialize a loop-invariant full [L, K, N]
+        # copy of every big bank inside the jitted decode step (~+7.5 GB on
+        # the 8B config) — the exact OOM pretile_big_weights exists to avoid.
+        wl = jax.lax.dynamic_index_in_dim(w_q_stacked, li, 0, keepdims=False)
+        nb, k, bn = wl.shape
+        w = jnp.transpose(wl, (1, 0, 2)).reshape(k, nb * bn)
+        ws = jax.lax.dynamic_index_in_dim(w_scale_stacked, li, 0, keepdims=False)
+        return quant_matmul_int8_ref(x_q, w, x_scale, ws, out_dtype=out_dtype)
     if use_pallas() and m >= 8:
         # one m-tile per call when m is small (decode batches); the grouped
         # kernel requires m % block_m == 0

@@ -574,3 +574,53 @@ def test_engine_auto_layout_falls_back_to_hm(monkeypatch, rng):
     monkeypatch.setattr(device, "on_tpu", lambda: True)
     eng = LlamaEngine(cfg, params=llama.init_params(cfg, 0), num_pages=8)
     assert eng.kv["k"].ndim == 5, "hkv=4 must auto-select head-major pages"
+
+
+def test_pretile_big_weights_model_parity(monkeypatch, rng):
+    """decode_step_kv / prefill_batch_step_kv logits are unchanged by
+    llama.pretile_big_weights (ADVICE r2: the model-level 4-D bank branches
+    of _qmm_l/_qmm had no parity coverage). bn=64 divides every tiny-config
+    N (wqkv 512, wo 256, w13 1024, w2 256, lm_head 512)."""
+    import copy
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    monkeypatch.setenv("SKT_GEMM_BN", "64")
+    cfg = llama.tiny_config(int8_kv=True)
+    params = llama.init_params(cfg, 11)
+    params_t = llama.pretile_big_weights(copy.deepcopy(params))
+    for name in ("wqkv", "wo", "w13", "w2"):
+        assert params_t["layers"][name]["q"].ndim == 4, name
+    assert params_t["lm_head"]["q"].ndim == 4
+
+    from .utils import calc_diff
+
+    b, num_pages, mp = 2, 8, 3
+    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
+
+    # batched prefill parity
+    n = 5
+    kv_a = llama.init_kv_cache(cfg, num_pages, layout="tm")
+    kv_b = llama.init_kv_cache(cfg, num_pages, layout="tm")
+    ids = jnp.array(rng.integers(0, cfg.vocab_size, (b, n)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    lens = jnp.full((b,), n, jnp.int32)
+    slots_p = bt[jnp.arange(b)[:, None], pos // cfg.page_size] * cfg.page_size \
+        + pos % cfg.page_size
+    zeros = jnp.zeros((b,), jnp.int32)
+    lg_a, kv_a = llama.prefill_batch_step_kv(params, cfg, kv_a, ids, lens,
+                                             pos, slots_p, bt, zeros)
+    lg_b, kv_b = llama.prefill_batch_step_kv(params_t, cfg, kv_b, ids, lens,
+                                             pos, slots_p, bt, zeros)
+    assert calc_diff(np.asarray(lg_a), np.asarray(lg_b)) < 2e-3
+
+    # decode parity off the same cache, both small-m (b=2 < 8, the sliced
+    # fallback) and via the logits already checked above
+    seq = jnp.full((b,), n + 1, jnp.int32)
+    p2 = seq - 1
+    slots = bt[jnp.arange(b), p2 // cfg.page_size] * cfg.page_size \
+        + p2 % cfg.page_size
+    dids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+    dg_a, _ = llama.decode_step_kv(params, cfg, kv_a, dids, p2, seq, bt, slots)
+    dg_b, _ = llama.decode_step_kv(params_t, cfg, kv_b, dids, p2, seq, bt,
+                                   slots)
+    assert calc_diff(np.asarray(dg_a), np.asarray(dg_b)) < 2e-3

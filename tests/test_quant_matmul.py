@@ -197,3 +197,29 @@ def test_stacked_tiled_matches_stacked(rng):
     want = matmul.quant_matmul_int8_ref(xq, wq[1], xs, ws[1])
     assert_close(np.asarray(got, np.float32), np.asarray(want, np.float32),
                  rtol=2e-2, atol=2e-2)
+
+
+def test_stacked_tiled_small_m_fallback_slices_one_layer(rng):
+    """m<8 falls off the Pallas tier; the 4-D-bank fallback must slice layer
+    li BEFORE untiling (ADVICE r2: untiling the whole bank inside jit
+    materializes a full [L, K, N] copy of every bank per step)."""
+    import jax
+
+    l, m, k, n, bn = 3, 4, 64, 128, 32  # m=4 < 8 -> ref fallback
+    xq = jnp.array(rng.integers(-127, 127, (m, k)).astype(np.int8))
+    wq = jnp.array(rng.integers(-127, 127, (l, k, n)).astype(np.int8))
+    xs = jnp.array((rng.random((m, 1)) * 0.1 + 0.01).astype(np.float32))
+    ws = jnp.array((rng.random((l, n)) * 0.05 + 0.01).astype(np.float32))
+    wt = matmul.pretile_weight_bank(wq, bn)
+
+    f = jax.jit(lambda li: matmul.quant_matmul_int8_stacked(xq, wt, li, xs, ws))
+    for li in range(l):
+        want = matmul.quant_matmul_int8_ref(xq, wq[li], xs, ws[li])
+        assert_close(np.asarray(f(jnp.int32(li)), np.float32),
+                     np.asarray(want, np.float32), rtol=2e-2, atol=2e-2)
+    # the untile must not appear as a whole-bank [L, K, N] intermediate in
+    # the jaxpr: only layer li's [K, N] panel may be materialized.
+    txt = jax.jit(lambda li: matmul.quant_matmul_int8_stacked(
+        xq, wt, li, xs, ws)).lower(jnp.int32(0)).as_text()
+    assert f"tensor<{l}x{k}x{n}x" not in txt, \
+        "whole-bank untile leaked into the jitted fallback"
