@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Trace the OFFICIAL bench decode step (bench.py config: pretiled banks,
+token-major pages, k-step fori loop) and print a per-op time budget.
+
+Usage:
+  python scripts/profile_bench.py [--batch 128] [--ctx 256] [--outdir DIR]
+  python scripts/profile_bench.py --parse-only --outdir DIR
+
+The budget comes from the XLA-op track of the trace: per-op-name total µs
+across one stepk call, divided by k_steps -> µs/step/op-class. This is the
+tool for the ROADMAP "close the roofline gap" campaign — standalone kernel
+sweeps mismeasure (84 vs 585 GB/s, see ops/matmul.py notes); only in-model
+timelines count.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+from collections import defaultdict
+
+
+def capture(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sgl_kernel_npu_tpu.models import llama
+
+    cfg = llama.LlamaConfig(int8_kv=True)
+    ps = cfg.page_size
+    k_steps = args.k_steps
+    max_pages = -(-(args.ctx + 2 * k_steps) // ps)
+    num_pages = args.batch * max_pages + 1
+
+    params = llama.init_params(cfg, 0)
+    if os.environ.get("SKT_GEMM_TILED", "1") != "0":
+        params = llama.pretile_big_weights(params)
+    kv = llama.init_kv_cache(
+        cfg, num_pages, layout="tm" if llama.tm_layout_ok(cfg) else "hm")
+
+    rng = np.random.default_rng(0)
+    bt = jnp.array(
+        rng.permutation(num_pages - 1)[: args.batch * max_pages]
+        .reshape(args.batch, max_pages) + 1, jnp.int32)
+    pos0 = jnp.full((args.batch,), args.ctx - 1, jnp.int32)
+    ids0 = jnp.array(rng.integers(0, cfg.vocab_size, args.batch), jnp.int32)
+
+    def run_steps(params, kv, ids, pos):
+        def body(_, carry):
+            kv, ids, pos = carry
+            seq = pos + 1
+            slots = (bt[jnp.arange(args.batch), pos // ps] * ps + pos % ps)
+            logits, kv = llama.decode_step_kv(params, cfg, kv, ids, pos, seq,
+                                              bt, slots)
+            ids = jnp.argmax(logits, -1).astype(jnp.int32)
+            return kv, ids, pos + 1
+        return jax.lax.fori_loop(0, k_steps, body, (kv, ids, pos))
+
+    stepk = jax.jit(run_steps, donate_argnums=(1,))
+    kv, ids, pos = stepk(params, kv, ids0, pos0)
+    int(np.asarray(ids[0]))
+    with jax.profiler.trace(args.outdir):
+        kv, ids, pos = stepk(params, kv, ids, pos)
+        int(np.asarray(ids[0]))
+    print("trace ->", args.outdir)
+
+
+def parse(outdir, k_steps):
+    files = sorted(glob.glob(os.path.join(
+        outdir, "**", "*.trace.json.gz"), recursive=True))
+    assert files, f"no trace under {outdir}"
+    with gzip.open(files[-1], "rt") as f:
+        tr = json.load(f)
+    events = tr["traceEvents"]
+    # keep device-lane complete events (XLA ops); drop host python/runtime pids
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device:" in n or "XLA" in n}
+    per_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        dur = e.get("dur", 0.0)
+        # collapse fusion suffixes: "fusion.123" -> class by leading token
+        cls = re.sub(r"[.\d]+$", "", name)
+        per_op[cls] += dur
+        total += dur
+    rows = sorted(per_op.items(), key=lambda kv: -kv[1])
+    print(f"{'op class':48s} {'us/step':>10s} {'%':>6s}")
+    for name, dur in rows[:40]:
+        print(f"{name:48s} {dur / k_steps:10.1f} {100 * dur / total:6.2f}")
+    print(f"{'TOTAL (device-lane busy)':48s} {total / k_steps:10.1f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--ctx", type=int, default=256)
+    ap.add_argument("--k-steps", type=int, default=32)
+    ap.add_argument("--outdir", default="/tmp/skt_bench_trace")
+    ap.add_argument("--parse-only", action="store_true")
+    args = ap.parse_args()
+    if not args.parse_only:
+        capture(args)
+    parse(args.outdir, args.k_steps)
+
+
+if __name__ == "__main__":
+    main()
