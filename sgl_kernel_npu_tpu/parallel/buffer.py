@@ -15,6 +15,7 @@ pins tpWorldSize=1 — deep_ep.cpp:189-190; here TP composes naturally).
 
 from __future__ import annotations
 
+from enum import IntEnum
 from functools import partial
 from typing import Optional
 
@@ -28,6 +29,14 @@ from .layout import get_dispatch_layout as _layout
 from .strategy import get_low_latency_strategy, get_normal_strategy
 from .strategies import low_latency as _ll  # noqa: F401  (registers)
 from .strategies import normal as _normal  # noqa: F401  (registers)
+
+
+class FuseMode(IntEnum):
+    """Fusion-mode selector for Buffer.fused_deep_moe (reference parity:
+    deep_ep.buffer.FuseMode, python/deep_ep/deep_ep/buffer.py:21-23 — also
+    deliberately NOT exported from the package __init__)."""
+    FUSED_DEEP_MOE = 1
+    DISPATCH_FFN_COMBINE = 2
 
 
 class Buffer:
@@ -359,7 +368,8 @@ class Buffer:
     def fused_deep_moe(self, x, topk_idx, topk_weights,
                        w13_q, w13_scale, w2_q, w2_scale,
                        capacity_rows: Optional[int] = None,
-                       chunk_rounds: int = 1):
+                       chunk_rounds: int = 1,
+                       fuse_mode: FuseMode = FuseMode.FUSED_DEEP_MOE):
         """Single-jit fused MoE layer (ref: Buffer.fused_deep_moe §3.3).
 
         x [Ttotal, H] sharded over EP; expert weights sharded over EP on dim 0:
@@ -368,7 +378,18 @@ class Buffer:
 
         chunk_rounds > 1 software-pipelines dispatch/GEMM/combine rounds for
         comm/compute overlap (ref fused_deep_moe.h:38-95 preload-async).
+
+        fuse_mode=FuseMode.DISPATCH_FFN_COMBINE routes to the
+        aclnnDispatchFFNCombine-parity path (ref buffer.py:881-896): scales
+        must then be int64 bit patterns, and the call returns
+        (out, expert_token_nums) — see dispatch_ffn_combine.
         """
+        if fuse_mode == FuseMode.DISPATCH_FFN_COMBINE:
+            # reference semantics: num_max_dispatch_tokens_per_rank means max
+            # RECEIVED tokens in this mode (max_bs * ranks * topk)
+            return self.dispatch_ffn_combine(
+                x, topk_idx, topk_weights, w13_q, w13_scale, w2_q, w2_scale,
+                capacity_rows=capacity_rows)
         from . import fused_moe as _fm
 
         strat = self._low_latency
@@ -389,6 +410,56 @@ class Buffer:
             out_specs=self._ep(),
             key=("fused_moe", capacity_rows, chunk_rounds),
         )(x, topk_idx, topk_weights, w13_q, w13_scale, w2_q, w2_scale)
+
+    def dispatch_ffn_combine(self, x, topk_idx, topk_weights,
+                             w13_q, w13_scale_i64, w2_q, w2_scale_i64,
+                             max_output_size: Optional[int] = None,
+                             capacity_rows: Optional[int] = None):
+        """aclnnDispatchFFNCombine (FuseMode 2) — the reference's alternative
+        single-call MoE fusion (csrc/deepep/ops/op_kernel/dispatch_ffn_combine.h;
+        facade deep_ep/buffer.py:881-896). Contract differences vs
+        fused_deep_moe are honored in dispatch_ffn_combine_shard (which see):
+        int64-bit-pattern scales (NOT auto-converted here — reference parity),
+        received-token bound semantics, per-local-expert second return, no
+        shared experts, INT8 only.
+
+        max_output_size: max tokens RECEIVED in dispatch
+        (max_bs * num_ranks * topk); defaults from the ctor bound.
+        Returns (out [Ttotal, H] bf16, expert_token_nums [EP, El] int32 —
+        one row per rank, each row this rank's local-expert counts).
+        """
+        from . import fused_moe as _fm
+
+        # int32 also accepted: without jax_enable_x64, device_put narrows
+        # int64 inputs to int32 — the f32 bit pattern lives in the low 32
+        # bits either way (scale_from_float_to_int64 widens an int32 view).
+        ok_dtypes = (jnp.int64, jnp.int32)
+        assert w13_scale_i64.dtype in ok_dtypes and \
+            w2_scale_i64.dtype in ok_dtypes, (
+                "DISPATCH_FFN_COMBINE takes int64 bit-pattern scales "
+                "(FUSED_DEEP_MOE.md:44-52); use "
+                "np.frombuffer(f32.tobytes(), np.int32).astype(np.int64)")
+        strat = self._low_latency
+        k = int(topk_idx.shape[-1])
+        recv_bound = max_output_size or (
+            self.num_max_dispatch_tokens_per_rank * self.num_ranks * k)
+
+        def fn(x, idx, w, w13q, w13s, w2q, w2s):
+            out, nums = _fm.dispatch_ffn_combine_shard(
+                x, idx, w, w13q, w13s, w2q, w2s,
+                strategy=strat, axis_name=self.axis_name,
+                num_experts=self.num_experts, num_ranks=self.num_ranks,
+                num_max_dispatch_tokens_per_rank=recv_bound,
+                capacity_rows=capacity_rows,
+            )
+            return out, nums[None]   # [1, El] per shard -> [EP, El] global
+
+        return self._smap(
+            fn,
+            in_specs=tuple([self._ep()] * 7),
+            out_specs=(self._ep(), self._ep()),
+            key=("dispatch_ffn_combine", recv_bound, capacity_rows),
+        )(x, topk_idx, topk_weights, w13_q, w13_scale_i64, w2_q, w2_scale_i64)
 
     def low_latency_combine(self, x, topk_idx, topk_weights, handle):
         """Decode-path combine. Ref: Buffer.low_latency_combine."""

@@ -202,3 +202,63 @@ def fused_deep_moe_shard(
             axis_name=axis_name))
         res = nxt
     return jnp.concatenate(outs, axis=0)
+
+
+def scale_int64_to_float(scale_i64):
+    """Decode the DISPATCH_FFN_COMBINE weight-scale convention: float32 bit
+    patterns widened to int64 (ref test_dispatch_ffn_combine.py:61-70
+    `scale_from_float_to_int64`: f32 bytes -> int32 view -> astype(int64)).
+    The caller performs the forward conversion; this is the kernel-side
+    decode (the reference does it on the device, dispatch_ffn_combine.h)."""
+    return jax.lax.bitcast_convert_type(
+        scale_i64.astype(jnp.int32), jnp.float32)
+
+
+def dispatch_ffn_combine_shard(
+    x, topk_idx, topk_weights,
+    w13_q, w13_scale_i64, w2_q, w2_scale_i64,
+    *, strategy, axis_name, num_experts, num_ranks,
+    num_max_dispatch_tokens_per_rank, capacity_rows: Optional[int] = None,
+):
+    """Per-shard aclnnDispatchFFNCombine equivalent (FuseMode 2).
+
+    Reference parity: csrc/deepep/ops/op_kernel/dispatch_ffn_combine.h +
+    dispatch_ffn_combine_kernel/ (8.3k LoC) — the alternative single-kernel
+    MoE fusion. Behavioral differences vs FUSED_DEEP_MOE (tabled in
+    python/deep_ep/doc/FUSED_DEEP_MOE.md:44-52), all honored here:
+      * weight scales arrive as int64 bit patterns of float32 (NOT
+        auto-converted by the facade) -> decoded in-graph by
+        scale_int64_to_float;
+      * GMM1 weights in the standard (unpermuted) [El, H, 2F] layout — on
+        TPU there is no NZ format and no tile-N permutation in either mode,
+        so this is the same layout fused_deep_moe_shard consumes;
+      * num_max_dispatch_tokens_per_rank means max tokens RECEIVED
+        (max_bs * ranks * topk) -> converted to the per-rank slot bound;
+      * second return is expert_token_nums [num_local_experts] int32 (tokens
+        received per LOCAL expert), not the [El, R] ep_recv_count;
+      * no shared experts, INT8 dispatch only (both enforced by construction:
+        this path has no shared_expert_rank_num input and always quantizes).
+
+    Returns (out [T, H] bf16, expert_token_nums [El] int32).
+    """
+    r = num_ranks
+    el = num_experts // r
+    k = topk_idx.shape[1]
+    # received-token semantics -> per-source-rank slot bound
+    maxt = max(1, num_max_dispatch_tokens_per_rank // (r * k))
+
+    res: LowLatencyDispatchResult = strategy.low_latency_dispatch(
+        x, topk_idx, axis_name=axis_name, num_experts=num_experts,
+        num_ranks=num_ranks, num_max_dispatch_tokens_per_rank=maxt,
+        quant_mode="int8",
+    )
+    w13_scale = scale_int64_to_float(w13_scale_i64)
+    w2_scale = scale_int64_to_float(w2_scale_i64)
+    cap = capacity_rows or r * maxt * min(k, el)
+    slotted = _expert_ffn_slotted(
+        res, w13_q, w13_scale, w2_q, w2_scale, num_ranks=r,
+        num_local_experts=el, max_tokens=maxt, cap=cap)
+    out = strategy.low_latency_combine(
+        slotted, topk_idx, topk_weights, res.handle, axis_name=axis_name)
+    expert_token_nums = res.packed_recv_count.astype(jnp.int32)   # [El]
+    return out, expert_token_nums

@@ -135,3 +135,54 @@ def test_fused_deep_moe_chunked_matches_unchunked(rng, rounds):
     assert calc_diff(chunked, base) < 1e-5
     golden = _dense_moe(x, topk_idx, topk_w, w13, w2)
     assert calc_diff(chunked, golden) < 2e-3
+
+
+def test_dispatch_ffn_combine_matches_fused_and_counts(rng):
+    """FuseMode 2 (aclnnDispatchFFNCombine parity): int64 bit-pattern scales,
+    received-token bound semantics, per-local-expert count return — the output
+    must equal fused_deep_moe's and the dense golden; expert_token_nums must
+    equal the actual per-local-expert routed counts
+    (ref: python/deep_ep/doc/FUSED_DEEP_MOE.md:44-52 differences table)."""
+    from sgl_kernel_npu_tpu.parallel.buffer import FuseMode
+
+    mesh = Mesh(np.array(jax.devices()[:R]), ("ep",))
+    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T)
+    total = R * T
+    x = (rng.standard_normal((total, H)) * 0.3).astype(np.float32)
+    topk_idx = np.stack([rng.choice(E, K, replace=False)
+                         for _ in range(total)]).astype(np.int32)
+    topk_idx[0, 0] = -1  # dropped slot
+    topk_w = (rng.random((total, K)) * 0.5).astype(np.float32)
+    w13, w13q, w13s = _quant_weights(rng, E, H, 2 * F)
+    w2, w2q, w2s = _quant_weights(rng, E, F, H)
+
+    def to_i64(s):  # the reference caller-side conversion (test:61-70)
+        return np.frombuffer(s.astype(np.float32).tobytes(),
+                             np.int32).astype(np.int64).reshape(s.shape)
+
+    xs = jax.device_put(jnp.array(x, jnp.bfloat16),
+                        jax.NamedSharding(mesh, P("ep")))
+    out, nums = buf.fused_deep_moe(
+        xs, jnp.array(topk_idx), jnp.array(topk_w),
+        jnp.array(w13q), jnp.array(to_i64(w13s)),
+        jnp.array(w2q), jnp.array(to_i64(w2s)),
+        fuse_mode=FuseMode.DISPATCH_FFN_COMBINE)
+    golden = _dense_moe(x, topk_idx, topk_w, w13, w2)
+    assert calc_diff(np.asarray(out, np.float32), golden) < 2e-3
+
+    # identical numerics to FuseMode 1 at the same routing
+    base = np.asarray(buf.fused_deep_moe(
+        xs, jnp.array(topk_idx), jnp.array(topk_w),
+        jnp.array(w13q), jnp.array(w13s), jnp.array(w2q), jnp.array(w2s)),
+        np.float32)
+    assert calc_diff(np.asarray(out, np.float32), base) < 1e-5
+
+    # expert_token_nums [EP, El]: per-rank local-expert counts
+    nums = np.asarray(nums)
+    el = E // R
+    assert nums.shape == (R, el)
+    expect = np.zeros(E, np.int64)
+    for e in topk_idx.reshape(-1):
+        if e >= 0:
+            expect[e] += 1
+    np.testing.assert_array_equal(nums.reshape(-1), expect)
