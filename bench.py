@@ -28,21 +28,35 @@ def main():
     A transient tunnel/backend failure must degrade to a diagnostic JSON the
     driver can record — never a bare rc=1 (that cost round 1 its number)."""
     args = parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    runners = {"llama": run_bench, "mla": run_bench_mla,
+               "moe": run_bench_moe, "qwen": run_bench_qwen}
+    # --all: auxiliary configs first (each faults to a diagnostic line, never
+    # kills the run), headline LAST so the driver parses the llama line.
+    order = (["mla", "moe", "qwen", "llama"] if args.all else [args.config])
     last_err = None
-    for attempt in range(2):
-        try:
-            return run_bench(args)
-        except Exception as e:  # noqa: BLE001 — diagnostic boundary
-            last_err = f"{type(e).__name__}: {e}"
-            sys.stderr.write(f"bench attempt {attempt} failed: {last_err}\n")
-            time.sleep(5)
-    print(json.dumps({
-        "metric": "decode_tokens_per_s_per_chip_llama8b_w8a8",
-        "value": 0.0,
-        "unit": "tokens/s/chip",
-        "vs_baseline": 0.0,
-        "detail": {"error": (last_err or "")[:500]},
-    }))
+    for cfg_name in order:
+        ran = False
+        for attempt in range(2):
+            try:
+                runners[cfg_name](args)
+                ran = True
+                break
+            except Exception as e:  # noqa: BLE001 — diagnostic boundary
+                last_err = f"{type(e).__name__}: {e}"
+                sys.stderr.write(
+                    f"bench[{cfg_name}] attempt {attempt} failed: {last_err}\n")
+                time.sleep(5)
+        if not ran:
+            print(json.dumps({
+                "metric": f"decode_tokens_per_s_per_chip_{cfg_name}",
+                "value": 0.0,
+                "unit": "tokens/s/chip",
+                "vs_baseline": 0.0,
+                "detail": {"error": (last_err or "")[:500]},
+            }))
     return 0
 
 
@@ -63,6 +77,15 @@ def parse_args():
                          "pass-through (SKT_DECODE_V4)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the axon plugin overrides JAX_PLATFORMS)")
+    # BASELINE.json config selector: 'llama' (configs 1-2, the official
+    # headline) stays the default so the driver's plain `python bench.py`
+    # keeps printing exactly one JSON line. 'mla' (config 3), 'moe'
+    # (config 4, EP=1 loopback fused MoE), 'qwen' (config 5 hybrid) each
+    # print their own line; --all runs every config (headline line LAST).
+    ap.add_argument("--config", default="llama",
+                    choices=["llama", "mla", "moe", "qwen"])
+    ap.add_argument("--all", action="store_true",
+                    help="run mla+moe+qwen then the llama headline")
     return ap.parse_args()
 
 
@@ -167,6 +190,234 @@ def run_bench(args):
             "platform": props.platform,
         },
     }))
+    return 0
+
+
+def _emit(metric, toks_per_s, roofline, detail):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(toks_per_s / roofline, 4) if roofline else 0.0,
+        "detail": dict(detail, roofline_tokens_per_s=round(roofline, 1)),
+    }))
+
+
+def _median_step(step, k_steps, reps, state, sync):
+    """Warm-compile then time `reps` k-step calls of `step(state) -> state`;
+    returns (seconds/step, state)."""
+    state = step(state)
+    sync(state)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = step(state)
+        sync(state)
+        times.append((time.perf_counter() - t0) / k_steps)
+    return float(np.median(times)), state
+
+
+def run_bench_mla(args):
+    """BASELINE config 3: DeepSeek-V2-Lite-dims MLA continuous-batching decode
+    (mla_preprocess fusion + paged latent attention) on one chip.
+
+    Dims per DeepSeek-V2-Lite (27 layers, hidden 2048, 16 heads, kv_lora 512,
+    rope 64, nope 128, v_head 128, inter 10944); q_lora_rank=1536 is the V2
+    value (Lite skips the q-LoRA, but the reference mla_preprocess op —
+    csrc/mla_preprocess — hard-wires the 2-GEMM q path, so the bench keeps it)."""
+    from sgl_kernel_npu_tpu.models import deepseek_mla as dm
+    from sgl_kernel_npu_tpu.utils import get_device_properties
+
+    props = get_device_properties()
+    if args.smoke:
+        cfg = dm.tiny_config()
+        batch, ctx, k_steps, reps = 4, 64, 4, 2
+    else:
+        cfg = dm.MlaConfig(vocab_size=102400, hidden_size=2048, num_layers=27,
+                           num_heads=16, kv_lora_rank=512, qk_rope_dim=64,
+                           qk_nope_dim=128, v_head_dim=128, q_lora_rank=1536,
+                           intermediate_size=10944, page_size=128)
+        batch, ctx, k_steps, reps = args.batch, args.ctx, 16, 3
+    ps = cfg.page_size
+    total_new = k_steps * (1 + reps)
+    max_pages = -(-(ctx + total_new) // ps)
+    num_pages = batch * max_pages + 1
+
+    params = dm.init_params(cfg, 0)
+    ckv, krope = dm.init_kv_cache(cfg, num_pages)
+    rng = np.random.default_rng(0)
+    bt = jnp.array(
+        rng.permutation(num_pages - 1)[: batch * max_pages]
+        .reshape(batch, max_pages) + 1, jnp.int32)
+    pos0 = jnp.full((batch,), ctx - 1, jnp.int32)
+    ids0 = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
+
+    def run_steps(params, ckv, krope, ids, pos):
+        def body(_, carry):
+            ckv, krope, ids, pos = carry
+            seq = pos + 1
+            slots = (bt[jnp.arange(batch), pos // ps] * ps + pos % ps)
+            logits, ckv, krope = dm.decode_step(
+                params, cfg, ckv, krope, ids, pos, seq, bt, slots)
+            return ckv, krope, jnp.argmax(logits, -1).astype(jnp.int32), pos + 1
+        return jax.lax.fori_loop(0, k_steps, body, (ckv, krope, ids, pos))
+
+    stepk = jax.jit(run_steps, donate_argnums=(1, 2))
+    dt, _ = _median_step(
+        lambda st: stepk(params, *st), k_steps, reps,
+        (ckv, krope, ids0, pos0),
+        lambda st: int(np.asarray(st[2][0])))
+
+    l, h = cfg.num_layers, cfg.hidden_size
+    heads, qdim = cfg.num_heads, cfg.qk_nope_dim + cfg.qk_rope_dim
+    w_int8 = l * (h * cfg.mm1_out + cfg.q_lora_rank * heads * qdim
+                  + heads * cfg.v_head_dim * h + h * 2 * cfg.intermediate_size
+                  + cfg.intermediate_size * h) + h * cfg.vocab_size
+    w_f32 = l * (heads * cfg.qk_nope_dim * cfg.kv_lora_rank
+                 + heads * cfg.kv_lora_rank * cfg.v_head_dim) * 4
+    kv_per_tok = l * (cfg.kv_lora_rank + cfg.qk_rope_dim) * 2 \
+        * (ctx + total_new // 2)
+    roofline = props.hbm_gbps * 1e9 / ((w_int8 + w_f32) / batch + kv_per_tok)
+    _emit("decode_tokens_per_s_per_chip_mla" + ("_smoke" if args.smoke else ""),
+          batch / dt, roofline,
+          {"batch": batch, "ctx": ctx, "step_ms": round(dt * 1e3, 3),
+           "platform": props.platform})
+    return 0
+
+
+def run_bench_moe(args):
+    """BASELINE config 4: single-chip fused-MoE decode layer at the per-chip
+    share of a DeepSeek-V3-class EP=32 deployment (8 local experts,
+    hidden 7168, moe_intermediate 2048, top-8, 128 decode tokens) — EP=1
+    loopback so the chip runs the dispatch->GMM1->SwiGLU->GMM2->combine
+    pipeline end-to-end (ref perf anchor: FUSED_DEEP_MOE.md:24).
+
+    Also A/Bs chunk_rounds {1,2,4} — the comm/compute-overlap measurement
+    (VERDICT r2 #4) — and reports the best."""
+    from jax.sharding import Mesh
+    from sgl_kernel_npu_tpu.parallel import Buffer
+    from sgl_kernel_npu_tpu.utils import get_device_properties
+
+    props = get_device_properties()
+    if args.smoke:
+        el, h, f, t, k = 4, 256, 128, 16, 2
+    else:
+        el, h, f, t, k = 8, 7168, 2048, 128, 8
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    buf = Buffer(mesh, el, num_max_dispatch_tokens_per_rank=t)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((t, h)) * 0.3, jnp.bfloat16)
+    topk_idx = jnp.asarray(
+        np.stack([rng.choice(el, k, replace=False) for _ in range(t)]),
+        jnp.int32)
+    topk_w = jnp.asarray(rng.random((t, k)), jnp.float32)
+    w13q = jnp.asarray(rng.integers(-127, 128, (el, h, 2 * f)), jnp.int8)
+    w13s = jnp.full((el, 2 * f), 2e-4, jnp.float32)
+    w2q = jnp.asarray(rng.integers(-127, 128, (el, f, h)), jnp.int8)
+    w2s = jnp.full((el, h), 2e-4, jnp.float32)
+
+    results = {}
+    for rounds in (1, 2, 4):
+        def step(x):
+            return buf.fused_deep_moe(x, topk_idx, topk_w, w13q, w13s,
+                                      w2q, w2s, chunk_rounds=rounds)
+        out = step(x)
+        jax.block_until_ready(out)
+        reps, loops = 3, 8
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(loops):
+                out = step(out.astype(jnp.bfloat16))
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) / loops)
+        results[rounds] = float(np.median(times))
+
+    best_rounds = min(results, key=results.get)
+    dt = results[best_rounds]
+    # speed-of-light: the expert weight stream (int8) + token payload traffic
+    w_bytes = el * (h * 2 * f + f * h)
+    tok_bytes = t * k * h * (1 + 2 + 2)   # int8 dispatch + bf16 ffn out + combine
+    bound_s = (w_bytes + tok_bytes) / (props.hbm_gbps * 1e9)
+    roofline = t / bound_s
+    _emit("decode_tokens_per_s_per_chip_moe_ep1" +
+          ("_smoke" if args.smoke else ""), t / dt, roofline,
+          {"local_experts": el, "hidden": h, "inter": f, "topk": k,
+           "step_us": round(dt * 1e6, 1), "platform": props.platform,
+           "chunk_rounds_us": {str(r): round(s * 1e6, 1)
+                               for r, s in results.items()},
+           "best_chunk_rounds": best_rounds})
+    return 0
+
+
+def run_bench_qwen(args):
+    """BASELINE config 5: Qwen3-Next-class hybrid (GDN linear-attention +
+    full-attention + sparse-MoE MLP) continuous-batching decode. Dims scaled
+    to the per-chip share of the 80B model at TP=4 (hidden 2048, 12 hybrid
+    layers 3:1, 8 v-heads x 128, 128 experts top-10 + shared) — the hybrid
+    stack is the point here, not the exact 80B budget."""
+    from sgl_kernel_npu_tpu.models import qwen_next as qn
+    from sgl_kernel_npu_tpu.utils import get_device_properties
+
+    props = get_device_properties()
+    if args.smoke:
+        cfg = qn.QwenNextConfig()
+        batch, k_steps, reps, ctx = 4, 4, 2, 64
+    else:
+        cfg = qn.QwenNextConfig(
+            vocab_size=32768, hidden_size=2048, num_layers=12,
+            full_attention_interval=4,
+            num_qk_heads=8, num_v_heads=8, head_qk_dim=128, head_v_dim=128,
+            conv_width=4, chunk_size=64,
+            num_heads=16, num_kv_heads=2, head_dim=128,
+            page_size=128, num_experts=128, top_k=10,
+            moe_intermediate_size=512, shared_intermediate_size=512,
+            max_position=8192, num_loras=0, lora_rank=8)
+        batch, k_steps, reps, ctx = args.batch, 8, 3, args.ctx
+    ps = cfg.page_size
+    total_new = k_steps * (1 + reps)
+    max_pages = -(-(ctx + total_new) // ps)
+    num_pages = batch * max_pages + 1
+
+    params = qn.init_params(cfg, 0)
+    state = qn.init_state(cfg, batch, num_pages)
+    rng = np.random.default_rng(0)
+    bt = jnp.array(
+        rng.permutation(num_pages - 1)[: batch * max_pages]
+        .reshape(batch, max_pages) + 1, jnp.int32)
+    pos0 = jnp.full((batch,), ctx - 1, jnp.int32)
+    ids0 = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
+
+    def run_steps(params, state, ids, pos):
+        def body(_, carry):
+            state, ids, pos = carry
+            seq = pos + 1
+            slots = (bt[jnp.arange(batch), pos // ps] * ps + pos % ps)
+            logits, state = qn.decode_step(params, cfg, state, ids, pos, seq,
+                                           bt, slots)
+            return state, jnp.argmax(logits, -1).astype(jnp.int32), pos + 1
+        return jax.lax.fori_loop(0, k_steps, body, (state, ids, pos))
+
+    stepk = jax.jit(run_steps, donate_argnums=(1,))
+    dt, _ = _median_step(
+        lambda st: stepk(params, *st), k_steps, reps, (state, ids0, pos0),
+        lambda st: int(np.asarray(st[1][0])))
+
+    # weight stream (f32 weights in this model family) + KV/SSM state traffic
+    w_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                  for a in jax.tree.leaves(params)) \
+        - int(np.prod(params["embed"].shape)) * params["embed"].dtype.itemsize
+    kv_per_tok = cfg.num_attn_layers * 2 * cfg.num_kv_heads * cfg.head_dim \
+        * 2 * (ctx + total_new // 2)
+    ssm_per_req = cfg.num_gdn_layers * cfg.num_v_heads * cfg.head_qk_dim \
+        * cfg.head_v_dim * 4 * 2   # read+write f32 SSM state
+    roofline = props.hbm_gbps * 1e9 / (
+        w_bytes / batch + kv_per_tok + ssm_per_req)
+    _emit("decode_tokens_per_s_per_chip_qwen_next_hybrid" +
+          ("_smoke" if args.smoke else ""), batch / dt, roofline,
+          {"batch": batch, "ctx": ctx, "step_ms": round(dt * 1e3, 3),
+           "layers": cfg.num_layers, "platform": props.platform})
     return 0
 
 
