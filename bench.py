@@ -72,9 +72,6 @@ def parse_args():
     ap.add_argument("--int8-kv", action="store_true", default=True,
                     help="INT8 KV cache (BASELINE config-2 includes it; default on)")
     ap.add_argument("--bf16-kv", dest="int8_kv", action="store_false")
-    ap.add_argument("--v4", type=int, nargs="?", const=1, default=0,
-                    help="decode variant: 1 fused in-kernel write, 2 aliased "
-                         "pass-through (SKT_DECODE_V4)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the axon plugin overrides JAX_PLATFORMS)")
     # BASELINE.json config selector: 'llama' (configs 1-2, the official
@@ -90,8 +87,6 @@ def parse_args():
 
 
 def run_bench(args):
-    if args.v4:
-        os.environ["SKT_DECODE_V4"] = str(args.v4)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -74,16 +74,24 @@ def parse(outdir, k_steps):
     with gzip.open(files[-1], "rt") as f:
         tr = json.load(f)
     events = tr["traceEvents"]
-    # keep device-lane complete events (XLA ops); drop host python/runtime pids
+    # keep ONLY the leaf "XLA Ops" thread track — the device pid also carries
+    # "XLA Modules" / "Steps" parent spans that nest over the ops and would
+    # double-count every op if summed per-pid
     pid_names = {e["pid"]: e["args"].get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name"}
     dev_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "/device:" in n or "XLA" in n}
+    op_tids = {(e["pid"], e["tid"])
+               for e in events if e.get("ph") == "M"
+               and e.get("name") == "thread_name"
+               and e["pid"] in dev_pids
+               and e["args"].get("name", "") == "XLA Ops"}
+    assert op_tids, f"no 'XLA Ops' track in trace (pids={pid_names})"
     per_op = defaultdict(float)
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "")
         dur = e.get("dur", 0.0)

@@ -18,15 +18,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ctx", type=int, default=256)
-    ap.add_argument("--v4", action="store_true")
     ap.add_argument("--bf16-kv", dest="int8_kv", action="store_false",
                     default=True)
     ap.add_argument("--outdir", default="/tmp/skt_trace")
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
-    if args.v4:
-        os.environ["SKT_DECODE_V4"] = "1"
-
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -30,8 +30,6 @@ import jax.numpy as jnp
 
 from ..ops.attention.decode import decode_gqa_ref
 from ..ops.attention.paged_prefill import paged_prefill_attention
-from ..ops.attention.decode_v4 import (decode_fused_v4_int8, decode_v4b_int8,
-                                       scatter_stacked_int8)
 from ..ops.attention.decode_v3 import (
     decode_gqa_pallas_v3,
     decode_gqa_pallas_v3_defer,
@@ -40,15 +38,10 @@ from ..ops.attention.decode_v3 import (
     reshape_and_cache_gqa_page_major,
     reshape_and_cache_gqa_page_major_int8,
 )
-from ..ops.attention.decode_v5 import (
-    decode_gqa_pallas_v5_defer,
-    decode_gqa_pallas_v5_int8_defer,
-)
 from ..ops.attention.decode_v6 import (
     decode_gqa_pallas_v6_defer,
     decode_gqa_pallas_v6_int8_defer,
 )
-from ..ops.attention import decode_v7 as _v7
 from ..ops.attention import decode_v8 as _v8
 from ..ops.attention import decode_v9 as _v9
 from ..utils import env, use_pallas
@@ -161,7 +154,7 @@ def tm_layout_ok(cfg: LlamaConfig) -> bool:
 
     if not (cfg.int8_kv and use_pallas()):
         return False
-    if not (env.decode_v4() == 0 and env.env_bool("SKT_DECODE_FLAT", True)
+    if not (env.env_bool("SKT_DECODE_FLAT", True)
             and env.env_bool("SKT_DECODE_DEFER", True)):
         return False
     return interpret_mode() or (cfg.head_dim % 128 == 0
@@ -170,7 +163,7 @@ def tm_layout_ok(cfg: LlamaConfig) -> bool:
 
 
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16,
-                  sidecar_slots: int | None = None, layout: str = "hm"):
+                  layout: str = "hm"):
     # PAGE-MAJOR layout [L, pages, Hkv, page_size, D]: one DMA per page fetches
     # all heads (see ops/attention/decode_v3.py).
     if layout == "tm":
@@ -190,18 +183,9 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16,
         sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads, 1, cfg.page_size)
         # f32 scales: tiny (no D dim) and bf16's (16,128) tiling rejects the
         # singleton dim on real TPUs
-        kv = {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
-              "ks": jnp.zeros(sshape, jnp.float32),
-              "vs": jnp.zeros(sshape, jnp.float32)}
-        if sidecar_slots is not None:
-            # two-tier decode (decode_v7): bf16 token-major window per slot;
-            # pages become write-once at window granularity
-            from ..ops.attention import decode_v7 as _v7mod
-            hd = cfg.num_kv_heads * cfg.head_dim
-            side = (cfg.num_layers, sidecar_slots, _v7mod.WINDOW, hd)
-            kv["kside"] = jnp.zeros(side, jnp.bfloat16)
-            kv["vside"] = jnp.zeros(side, jnp.bfloat16)
-        return kv
+        return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(sshape, jnp.float32),
+                "vs": jnp.zeros(sshape, jnp.float32)}
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -272,7 +256,7 @@ def _qmm_l(x, bank, li):
 
 def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                    input_ids, positions, seq_lens, block_table, slot_mapping,
-                   tp_axis=None, lora_ids=None, side_idx=None):
+                   tp_axis=None, lora_ids=None):
     """One continuous-batching decode step over a KV pytree.
 
     kv_cache: (k_cache, v_cache) tuple (bf16 mode) or
@@ -325,17 +309,16 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         return (x, kv_all, li + 1), ()
 
     ps = cfg.page_size
-    v4 = env.decode_v4() if (cfg.int8_kv and use_pallas()
-                             and (d % 128 == 0 or interpret_mode())) else 0
     pages_per_layer = (kv_cache["k"] if cfg.int8_kv else kv_cache[0]).shape[1]
     # Flat-cache decode (default): fold the layer dim into the PAGE dim
     # ([L, P, ...] -> [L*P, ...], a free bitcast) so each layer scatters and
     # attends straight into the big cache through a page-offset block table —
     # no per-layer dynamic_index slice-out (a full layer-cache copy) and no
-    # dynamic_update_slice write-back. This is what decode v4's aliasing
-    # chased, without aliased pallas custom-calls (v4=1 fails Mosaic compile
-    # on v5e; v4=2 measured 7x slower than v3 — A/B 2026-08-17).
-    flat = v4 == 0 and env.env_bool("SKT_DECODE_FLAT", True)
+    # dynamic_update_slice write-back. This is what the atticked decode v4's
+    # aliasing chased, without aliased pallas custom-calls (v4=1 failed Mosaic
+    # compile on v5e; v4=2 measured 7x slower than v3 — A/B 2026-08-17; see
+    # attic/ops_attention/).
+    flat = env.env_bool("SKT_DECODE_FLAT", True)
     tiling_ok = d % 128 == 0 or interpret_mode()
     # Deferred-write decode (default): the flat cache is READ-ONLY inside the
     # layer scan — the kernel attends cached tokens and folds the current
@@ -345,22 +328,10 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     # 16.7 -> 9.9 ms/step at L=8 just by avoiding it).
     defer = (flat and use_pallas() and tiling_ok
              and env.env_bool("SKT_DECODE_DEFER", True))
-    # Two-tier decode (decode_v7) engages iff the cache carries a sidecar
-    # (init_kv_cache(..., sidecar_slots=...)): write-once pages + bf16 token
-    # window kill the per-step whole-cache relayout copies the mid-page
-    # scatter forced (4.9 ms/step at 8B/bs64 — fori-loop trace 2026-08-17).
-    has_side = (isinstance(kv_cache, dict) and "kside" in kv_cache)
-    if has_side:
-        assert defer and cfg.int8_kv, \
-            "sidecar caches require the deferred int8 pallas decode path"
-        side_slots = kv_cache["kside"].shape[1]
-        if side_idx is None:
-            side_idx = jnp.arange(b, dtype=jnp.int32)
     # Token-major pages (decode_v8): detected from the cache rank — tm k is
     # [L, P, ps*hkv, D] (4-D) vs head-major [L, P, hkv, ps, D] (5-D). The
     # append becomes a Pallas strided DMA; only scales go through XLA.
-    is_tm = (isinstance(kv_cache, dict) and not has_side
-             and kv_cache["k"].ndim == 4)
+    is_tm = (isinstance(kv_cache, dict) and kv_cache["k"].ndim == 4)
     if is_tm:
         assert defer and cfg.int8_kv, \
             "token-major caches require the deferred int8 pallas decode path"
@@ -426,27 +397,6 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                                          bt_l, sm_scale, ps)
             return ffn_tail(x, att, lp, kv_all, li)
 
-        if v4 == 1:
-            # fused scatter+attend over the ALIASED stacked cache: no per-layer
-            # slice copy, no XLA scatter (see ops/attention/decode_v4.py)
-            att, kc_a, vc_a, ks_a, vs_a = decode_fused_v4_int8(
-                q, k, v, kv_all["k"], kv_all["v"], kv_all["ks"], kv_all["vs"],
-                seq_lens, block_table, slot_mapping, li, sm_scale,
-                cfg.page_size)
-            kv_all = {"k": kc_a, "v": vc_a, "ks": ks_a, "vs": vs_a}
-            return ffn_tail(x, att, lp, kv_all, li)
-        if v4 == 2:
-            # XLA scatter straight into the stacked caches, then the
-            # pass-through-aliased attend (no slice, no defensive copy)
-            kc_a, vc_a, ks_a, vs_a = scatter_stacked_int8(
-                k, v, kv_all["k"], kv_all["v"], kv_all["ks"], kv_all["vs"],
-                li, slot_mapping)
-            att, kc_a, vc_a, ks_a, vs_a = decode_v4b_int8(
-                q, kc_a, vc_a, ks_a, vs_a, seq_lens, block_table, li,
-                sm_scale, cfg.page_size)
-            kv_all = {"k": kc_a, "v": vc_a, "ks": ks_a, "vs": vs_a}
-            return ffn_tail(x, att, lp, kv_all, li)
-
         kv_l = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
             a, li, 0, keepdims=False), kv_all)
         # Mosaic lane tiling wants head dim % 128 == 0 when COMPILING (v5e:
@@ -497,16 +447,6 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
 
         bt_l = block_table + li * pages_per_layer
         cached = seq_lens - 1     # tokens already in the cache
-        if has_side:
-            qbd = _v7.make_q_blockdiag(q, hkv)
-            srow = side_idx + li * side_slots
-            att = _v7.decode_gqa_pallas_v7_int8(
-                q, qbd, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
-                kv_cache["vs"], kv_cache["kside"], kv_cache["vside"],
-                srow, cached, bt_l, sm_scale, ps,
-                window=kv_cache["kside"].shape[-2])
-            (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
-            return (x2, li2), (k, v)
         if is_tm:
             # v9 (page-chunked, default) vs v8 (per-page stream):
             # SKT_DECODE_ATTN_TM
@@ -519,21 +459,17 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                 layer_idx=li)
             (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
             return (x2, li2), (k, v)
-        # Attention kernel ladder (SKT_DECODE_ATTN = v6|v5|v3, default v6).
-        # Measured bs64/ctx320 on the v5e: v3 ~530, v5 267, v6 118 us/layer
-        # (see decode_v6.py docstring).
+        # Head-major attention kernel ladder (SKT_DECODE_ATTN = v6|v3,
+        # default v6). Measured bs64/ctx320 on the v5e: v3 ~530, v5 267
+        # (atticked), v6 118 us/layer (see decode_v6.py docstring).
         which = env.env_str("SKT_DECODE_ATTN", "v6")
-        if not env.env_bool("SKT_DECODE_V5", True):   # legacy escape hatch
-            which = "v3"
         if cfg.int8_kv:
             fn = {"v6": decode_gqa_pallas_v6_int8_defer,
-                  "v5": decode_gqa_pallas_v5_int8_defer,
                   "v3": decode_gqa_pallas_v3_int8_defer}[which]
             att = fn(q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
                      kv_cache["vs"], cached, bt_l, sm_scale, ps)
         else:
             fn = {"v6": decode_gqa_pallas_v6_defer,
-                  "v5": decode_gqa_pallas_v5_defer,
                   "v3": decode_gqa_pallas_v3_defer}[which]
             att = fn(q, k, v, kv_cache[0], kv_cache[1], cached, bt_l,
                      sm_scale, ps)
@@ -550,49 +486,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         lcount = cfg.num_layers
         k_new = k_new.reshape(lcount * b, hkv, d)
         v_new = v_new.reshape(lcount * b, hkv, d)
-        if has_side:
-            w = kv_cache["kside"].shape[-2]
-            cached = seq_lens - 1
-            rows_all = (side_idx[None, :]
-                        + jnp.arange(lcount, dtype=jnp.int32)[:, None]
-                        * side_slots).reshape(-1)
-            offs_all = jnp.broadcast_to((cached % w)[None, :],
-                                        (lcount, b)).reshape(-1)
-            # inactive rows (slot_mapping < 0) must not touch the sidecar
-            rows_all = jnp.where(
-                jnp.broadcast_to(slot_mapping[None, :] >= 0,
-                                 (lcount, b)).reshape(-1),
-                rows_all, kv_cache["kside"].shape[0])
-            ks_c, vs_c = _v7.sidecar_append(
-                kv_cache["kside"], kv_cache["vside"], k_new, v_new,
-                rows_all, offs_all)
-            kv_cache = dict(kv_cache, kside=ks_c, vside=vs_c)
-
-            # window flush: sequences whose page-window completed WITH this
-            # token move their sidecar window into the write-once pages.
-            # UNCONDITIONAL: a lax.cond here makes XLA unify the two branch
-            # buffers by whole-cache copies (4x2.5 ms/step — trace 2026-08-18);
-            # non-flushing rows are dropped via OOB page indices instead, so
-            # the always-on cost is just the sidecar-sized quant+scatter.
-            do_flush_b = (seq_lens % w == 0) & (slot_mapping >= 0)
-            flush_start = seq_lens - w
-            pages_b = block_table[jnp.arange(b),
-                                  jnp.maximum(flush_start, 0) // ps]
-            page_offs_b = jnp.maximum(flush_start, 0) % ps
-            lidx = jnp.arange(lcount, dtype=jnp.int32)[:, None]
-            pages_all = (pages_b[None, :]
-                         + lidx * pages_per_layer).reshape(-1)
-            poffs_all = jnp.broadcast_to(page_offs_b[None, :],
-                                         (lcount, b)).reshape(-1)
-            rows_f = (side_idx[None, :] + lidx * side_slots).reshape(-1)
-            dof = jnp.broadcast_to(do_flush_b[None, :],
-                                   (lcount, b)).reshape(-1)
-            kc, vc, ksc, vsc = _v7.window_flush(
-                kv_cache["k"], kv_cache["v"], kv_cache["ks"], kv_cache["vs"],
-                kv_cache["kside"], kv_cache["vside"], rows_f, pages_all,
-                poffs_all, dof, window=w)
-            kv_cache = dict(kv_cache, k=kc, v=vc, ks=ksc, vs=vsc)
-        elif is_tm:
+        if is_tm:
             # k/v data: Pallas strided append (2 DMAs/sequence cover all L
             # layers); scales: XLA scatter on the small arrays only.
             kq, vq, ksn, vsn = _v8.quant_rows_int8(k_new, v_new)
@@ -622,7 +516,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     elif env.env_bool("SKT_DECODE_UNROLL", False):
         # Python-unrolled layer loop: static layer indices, no lax.scan.
         # Escape hatch for XLA:TPU compile pathologies with aliased pallas
-        # custom-calls inside while loops (observed with SKT_DECODE_V4=2).
+        # custom-calls inside while loops (observed with the atticked v4=2 path).
         carry = (x, kv_cache, jnp.int32(0))
         for li_static in range(cfg.num_layers):
             lp = jax.tree.map(lambda a: a[li_static], small_layers)

@@ -25,8 +25,6 @@ Flags (TPU names, reference analogue in parens):
                                  (ref: MOE_ENABLE_TOPK_NEG_ONE)
   SKT_BF16_DISPATCH              bool: skip INT8 comm quant
                                  (ref: SGLANG_DEEPEP_BF16_DISPATCH)
-  SKT_DECODE_V4                  0|1|2: decode variant (0 v3+scatter,
-                                 1 fused in-kernel write, 2 aliased pass-through)
   SKT_DECODE_UNROLL              bool: unroll the decode layer loop (escape
                                  hatch for scan+aliasing compile pathologies)
   SKT_LOG_LEVEL                  logging level for the package logger
@@ -121,8 +119,3 @@ def bf16_dispatch() -> bool:
     return env_bool("SKT_BF16_DISPATCH", False)
 
 
-def decode_v4() -> int:
-    """Decode kernel variant (ops/attention/decode_v4.py):
-    0 = v3 + XLA scatter (default); 1 = fully fused in-kernel scatter+attend;
-    2 = XLA scatter + pass-through-aliased stacked-cache attend (v4b)."""
-    return env_int("SKT_DECODE_V4", 0, lo=0, hi=2)

@@ -246,134 +246,6 @@ def test_decode_gqa_v3_int8(rng):
     golden = _golden_gqa(q, kcf, vcf, sl, bt, 0.2, ps)
     assert_close(out, golden, rtol=5e-2, atol=5e-2)
 
-
-def test_decode_v4_fused_scatter_attend_matches_scatter_plus_v3(rng):
-    """v4 (aliased stacked-cache fused scatter+attend) == XLA scatter followed
-    by v3 attention, for both the attention output and all four cache planes."""
-    import jax.numpy as jnp
-    from sgl_kernel_npu_tpu.ops.attention import decode_v3, decode_v4
-
-    L, P, hkv, ps, d = 3, 10, 4, 16, 32
-    hq, b = 8, 3
-    li = 1
-    sm = 1.0 / d ** 0.5
-
-    kc = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
-    vc = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
-    ks = jnp.asarray(rng.random((L, P, hkv, 1, ps)) * 0.01 + 1e-3, jnp.float32)
-    vs = jnp.asarray(rng.random((L, P, hkv, 1, ps)) * 0.01 + 1e-3, jnp.float32)
-
-    seq = jnp.array([1, 20, 33], jnp.int32)          # new, mid-page, cross-page
-    # pages are uniquely owned per sequence (engine invariant: the page being
-    # extended is never shared)
-    bt = jnp.array([[1, 2, 3], [4, 5, 0], [6, 7, 8]], jnp.int32)
-    pos = seq - 1
-    slots = bt[jnp.arange(b), pos // ps] * ps + pos % ps
-    q = jnp.asarray(rng.standard_normal((b, hq, d)) * 0.3, jnp.bfloat16)
-    kn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
-    vn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
-
-    # reference: scatter into layer li, then v3 attention on the slice
-    kc_l, vc_l, ks_l, vs_l = decode_v3.reshape_and_cache_gqa_page_major_int8(
-        kn, vn, kc[li], vc[li], ks[li], vs[li], slots)
-    att_ref = decode_v3.decode_gqa_pallas_v3_int8(
-        q, kc_l, vc_l, ks_l, vs_l, seq, bt, sm, ps)
-
-    att, kc2, vc2, ks2, vs2 = decode_v4.decode_fused_v4_int8(
-        q, kn, vn, kc, vc, ks, vs, seq, bt, slots, jnp.int32(li), sm, ps)
-
-    np.testing.assert_array_equal(np.asarray(kc2[li]), np.asarray(kc_l))
-    np.testing.assert_array_equal(np.asarray(vc2[li]), np.asarray(vc_l))
-    np.testing.assert_allclose(np.asarray(ks2[li]), np.asarray(ks_l), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(vs2[li]), np.asarray(vs_l), rtol=1e-6)
-    # untouched layers intact
-    np.testing.assert_array_equal(np.asarray(kc2[0]), np.asarray(kc[0]))
-    np.testing.assert_array_equal(np.asarray(vs2[2]), np.asarray(vs[2]))
-    from .utils import calc_diff
-    assert calc_diff(np.asarray(att, np.float32),
-                     np.asarray(att_ref, np.float32)) < 1e-4
-
-    # padded batch row (slot -1) writes nothing
-    slots_pad = slots.at[0].set(-1)
-    _, kc3, _, ks3, _ = decode_v4.decode_fused_v4_int8(
-        q, kn, vn, kc, vc, ks, vs, seq, bt, slots_pad, jnp.int32(li), sm, ps)
-    exp = kc[li].at[bt[1, 19 // ps], :, 19 % ps].set(
-        np.asarray(kc_l[bt[1, 19 // ps], :, 19 % ps]))
-    exp = exp.at[bt[2, 32 // ps], :, 32 % ps].set(
-        np.asarray(kc_l[bt[2, 32 // ps], :, 32 % ps]))
-    np.testing.assert_array_equal(np.asarray(kc3[li]), np.asarray(exp))
-
-
-def test_decode_v4_bf16_matches_scatter_plus_v3(rng):
-    """bf16 v4 variant vs XLA scatter + v3."""
-    import jax.numpy as jnp
-    from sgl_kernel_npu_tpu.ops.attention import decode_v3, decode_v4
-
-    L, P, hkv, ps, d = 2, 10, 4, 16, 32
-    hq, b = 8, 3
-    li = 0
-    sm = 1.0 / d ** 0.5
-    kc = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)) * 0.3, jnp.bfloat16)
-    vc = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)) * 0.3, jnp.bfloat16)
-    seq = jnp.array([1, 20, 32], jnp.int32)
-    bt = jnp.array([[1, 2, 3], [4, 5, 0], [6, 7, 8]], jnp.int32)
-    pos = seq - 1
-    slots = bt[jnp.arange(b), pos // ps] * ps + pos % ps
-    q = jnp.asarray(rng.standard_normal((b, hq, d)) * 0.3, jnp.bfloat16)
-    kn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
-    vn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
-
-    kc_l, vc_l = decode_v3.reshape_and_cache_gqa_page_major(
-        kn, vn, kc[li], vc[li], slots)
-    att_ref = decode_v3.decode_gqa_pallas_v3(q, kc_l, vc_l, seq, bt, sm, ps)
-
-    att, kc2, vc2 = decode_v4.decode_fused_v4(
-        q, kn, vn, kc, vc, seq, bt, slots, jnp.int32(li), sm, ps)
-    np.testing.assert_array_equal(
-        np.asarray(kc2[li], np.float32), np.asarray(kc_l, np.float32))
-    np.testing.assert_array_equal(
-        np.asarray(vc2[li], np.float32), np.asarray(vc_l, np.float32))
-    np.testing.assert_array_equal(
-        np.asarray(kc2[1], np.float32), np.asarray(kc[1], np.float32))
-    from .utils import calc_diff
-    assert calc_diff(np.asarray(att, np.float32),
-                     np.asarray(att_ref, np.float32)) < 1e-3
-
-
-def test_decode_v5_defer_matches_v3_defer(rng):
-    """v5 (grid-pipelined page fetch) == v3 defer kernels, int8 + bf16,
-    mixed cached lens incl. 0 (first token), page boundary, page+1."""
-    import jax
-    import jax.numpy as jnp
-    from sgl_kernel_npu_tpu.ops.attention import decode_v3, decode_v5
-
-    b, hq, hkv, d, ps = 4, 16, 4, 128, 128
-    max_pages, num_pages = 3, 16
-    sm = 1.0 / np.sqrt(d)
-    cached = jnp.array([0, ps - 1, ps, 2 * ps + 4], jnp.int32)
-    bt = jnp.asarray(rng.permutation(num_pages - 1)[: b * max_pages]
-                     .reshape(b, max_pages) + 1, jnp.int32)
-    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
-    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
-    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
-
-    kc = jnp.asarray(rng.standard_normal((num_pages, hkv, ps, d)), jnp.bfloat16)
-    vc = jnp.asarray(rng.standard_normal((num_pages, hkv, ps, d)), jnp.bfloat16)
-    o3 = decode_v3.decode_gqa_pallas_v3_defer(q, kn, vn, kc, vc, cached, bt, sm, ps)
-    o5 = decode_v5.decode_gqa_pallas_v5_defer(q, kn, vn, kc, vc, cached, bt, sm, ps)
-    assert_close(o3, o5, atol=2e-2)
-
-    kc8 = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
-    vc8 = jnp.asarray(rng.integers(-127, 127, (num_pages, hkv, ps, d)), jnp.int8)
-    ks8 = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
-    vs8 = jnp.asarray(rng.random((num_pages, hkv, 1, ps)) * .05, jnp.float32)
-    o3 = decode_v3.decode_gqa_pallas_v3_int8_defer(
-        q, kn, vn, kc8, vc8, ks8, vs8, cached, bt, sm, ps)
-    o5 = decode_v5.decode_gqa_pallas_v5_int8_defer(
-        q, kn, vn, kc8, vc8, ks8, vs8, cached, bt, sm, ps)
-    assert_close(o3, o5, atol=2e-2)
-
-
 def test_decode_v6_defer_matches_v3_defer(rng):
     """v6 (mega-stream, full-matrix heads) == v3 defer within bf16-dot
     rounding; int8 + bf16, ragged cached lens incl. 0 and page edges."""

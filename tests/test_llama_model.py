@@ -170,38 +170,6 @@ def test_decode_verify_step_linear_chain_matches_sequential(rng):
     p_out, ai, an = spec.verify_tree_greedy(cands, ridx, ntok, nsib, target)
     assert int(an[0]) == dt - 1  # all non-root drafts accepted
 
-
-def test_decode_v4_model_path_matches_v3(monkeypatch, rng):
-    """SKT_DECODE_V4 + pallas: the fused-kernel decode step produces the same
-    logits and cache as the scatter+v3 path (both attend the new token from
-    its quantized cache entry — so pin SKT_DECODE_DEFER=0; the deferred-write
-    default attends the new token exactly and is covered by
-    test_decode_defer_matches_eager)."""
-    cfg = llama.tiny_config(int8_kv=True)
-    params = llama.init_params(cfg, 2)
-    kv1 = llama.init_kv_cache(cfg, 8)
-    kv2 = jax.tree.map(lambda a: a, kv1)
-    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
-    b = 2
-
-    monkeypatch.setenv("SKT_IMPL", "pallas")
-    monkeypatch.setenv("SKT_DECODE_DEFER", "0")
-    for step, lens in enumerate([(1, 1), (2, 2), (3, 3)]):
-        seq = jnp.array(lens, jnp.int32)
-        pos = seq - 1
-        slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
-            + pos % cfg.page_size
-        ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
-        monkeypatch.delenv("SKT_DECODE_V4", raising=False)
-        lg1, kv1 = llama.decode_step_kv(params, cfg, kv1, ids, pos, seq, bt, slots)
-        monkeypatch.setenv("SKT_DECODE_V4", "1")
-        lg2, kv2 = llama.decode_step_kv(params, cfg, kv2, ids, pos, seq, bt, slots)
-        from .utils import calc_diff
-        assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
-        assert np.array_equal(np.asarray(kv1["k"]), np.asarray(kv2["k"]))
-        assert np.array_equal(np.asarray(kv1["v"]), np.asarray(kv2["v"]))
-
-
 def test_decode_defer_matches_eager(monkeypatch, rng):
     """Deferred-write decode (default): same greedy tokens and close logits vs
     the eager scatter-then-attend path over a multi-step decode. The paths
@@ -332,73 +300,6 @@ def test_prefill_batch_matches_single(rng):
             jnp.array(pos2), jnp.array(slp2), bts,
             jnp.array([7, 4], jnp.int32))
         assert calc_diff(np.asarray(lgb2)[0], np.asarray(lg)) < 2e-3, int8
-
-
-def test_decode_v4b_model_path_matches_v3(monkeypatch, rng):
-    """SKT_DECODE_V4=2 (scatter + aliased pass-through attend) == the eager
-    scatter+v3 path (SKT_DECODE_DEFER=0 — see the v4=1 twin above)."""
-    cfg = llama.tiny_config(int8_kv=True)
-    params = llama.init_params(cfg, 2)
-    kv1 = llama.init_kv_cache(cfg, 8)
-    kv2 = jax.tree.map(lambda a: a, kv1)
-    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
-    b = 2
-
-    monkeypatch.setenv("SKT_IMPL", "pallas")
-    monkeypatch.setenv("SKT_DECODE_DEFER", "0")
-    from .utils import calc_diff
-    for step in range(3):
-        seq = jnp.array([step + 1, step + 1], jnp.int32)
-        pos = seq - 1
-        slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
-            + pos % cfg.page_size
-        ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
-        monkeypatch.delenv("SKT_DECODE_V4", raising=False)
-        lg1, kv1 = llama.decode_step_kv(params, cfg, kv1, ids, pos, seq, bt, slots)
-        monkeypatch.setenv("SKT_DECODE_V4", "2")
-        lg2, kv2 = llama.decode_step_kv(params, cfg, kv2, ids, pos, seq, bt, slots)
-        assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 2e-3, step
-        assert np.array_equal(np.asarray(kv1["k"]), np.asarray(kv2["k"]))
-        assert np.array_equal(np.asarray(kv1["ks"]), np.asarray(kv2["ks"]))
-
-
-def test_decode_v7_two_tier_matches_v6(monkeypatch, rng):
-    """Two-tier decode (int8 pages + bf16 sidecar window): same logits as the
-    sidecar-free defer path across window flushes. Window monkeypatched to 4
-    so 10 steps cross two flush boundaries; recent tokens attend in exact
-    bf16 under v7 so logits agree to int8-quantization noise."""
-    from sgl_kernel_npu_tpu.ops.attention import decode_v7 as v7mod
-
-    monkeypatch.setattr(v7mod, "WINDOW", 4)
-    cfg = llama.tiny_config(int8_kv=True)
-    params = llama.init_params(cfg, 2)
-    kv1 = llama.init_kv_cache(cfg, 8, sidecar_slots=2)
-    kv2 = llama.init_kv_cache(cfg, 8)
-    assert kv1["kside"].shape[-2] == 4
-    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
-    b = 2
-
-    monkeypatch.setenv("SKT_IMPL", "pallas")
-    from .utils import calc_diff
-    for step in range(10):
-        seq = jnp.full((b,), step + 1, jnp.int32)
-        pos = seq - 1
-        slots = bt[jnp.arange(b), pos // cfg.page_size] * cfg.page_size \
-            + pos % cfg.page_size
-        ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
-        lg1, kv1 = llama.decode_step_kv(params, cfg, kv1, ids, pos, seq, bt, slots)
-        lg2, kv2 = llama.decode_step_kv(params, cfg, kv2, ids, pos, seq, bt, slots)
-        assert calc_diff(np.asarray(lg1), np.asarray(lg2)) < 8e-3, step
-    # after 8+ tokens, at least two windows flushed into the pages. At LAYER 0
-    # the k/v inputs are identical across paths (embeddings only), so the
-    # flushed slots must match the v6 path's quantized entries bitwise; later
-    # layers legitimately diverge by ulps (v7's recent tokens attend in exact
-    # bf16, which perturbs x and thus later k/v by quantization steps).
-    k1 = np.asarray(kv1["k"]); k2 = np.asarray(kv2["k"])
-    pages_used = np.asarray(bt[:, :1]).ravel()
-    for pg in pages_used:
-        assert np.array_equal(k1[0, pg, :, :8, :], k2[0, pg, :, :8, :])
-
 
 def test_decode_v8_token_major_model_matches_hm(monkeypatch, rng):
     """Token-major (v8) model decode == head-major defer path: same logits

@@ -71,38 +71,3 @@ def test_gdn_chunk_sizes(rng, t, c):
     assert_close(st16, np.asarray(st8), rtol=1e-3, atol=1e-3)
 
 
-@pytest.mark.parametrize("hkv,g,ps,d", [
-    (1, 1, 8, 32), (2, 4, 16, 64), (8, 4, 32, 128), (4, 1, 16, 32),
-])
-def test_decode_v4_int8_shape_sweep(rng, hkv, g, ps, d):
-    """v4 fused kernel across head/group/page/dim shapes vs scatter+v3."""
-    import jax.numpy as jnp
-    from sgl_kernel_npu_tpu.ops.attention import decode_v3, decode_v4
-
-    L, b = 2, 2
-    hq = hkv * g
-    li = 1
-    P = 2 * b * 3 + 1
-    sm = 1.0 / d ** 0.5
-    kc = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
-    vc = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
-    ks = jnp.asarray(rng.random((L, P, hkv, 1, ps)) * 0.01 + 1e-3, jnp.float32)
-    vs = jnp.asarray(rng.random((L, P, hkv, 1, ps)) * 0.01 + 1e-3, jnp.float32)
-    seq = jnp.array([ps, 2 * ps + 1], jnp.int32)      # page-exact + cross-page
-    bt = jnp.array([[1, 2, 3], [4, 5, 6]], jnp.int32)
-    pos = seq - 1
-    slots = bt[jnp.arange(b), pos // ps] * ps + pos % ps
-    q = jnp.asarray(rng.standard_normal((b, hq, d)) * 0.3, jnp.bfloat16)
-    kn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
-    vn = jnp.asarray(rng.standard_normal((b, hkv, d)) * 0.3, jnp.bfloat16)
-
-    kl, vl, ksl, vsl = decode_v3.reshape_and_cache_gqa_page_major_int8(
-        kn, vn, kc[li], vc[li], ks[li], vs[li], slots)
-    ref = decode_v3.decode_gqa_pallas_v3_int8(q, kl, vl, ksl, vsl, seq, bt,
-                                              sm, ps)
-    att, kc2, *_ = decode_v4.decode_fused_v4_int8(
-        q, kn, vn, kc, vc, ks, vs, seq, bt, slots, jnp.int32(li), sm, ps)
-    np.testing.assert_array_equal(np.asarray(kc2[li]), np.asarray(kl))
-    from .utils import calc_diff
-    assert calc_diff(np.asarray(att, np.float32),
-                     np.asarray(ref, np.float32)) < 1e-3
