@@ -33,9 +33,30 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     runners = {"llama": run_bench, "mla": run_bench_mla,
                "moe": run_bench_moe, "qwen": run_bench_qwen}
-    # --all: auxiliary configs first (each faults to a diagnostic line, never
-    # kills the run), headline LAST so the driver parses the llama line.
-    order = (["mla", "moe", "qwen", "llama"] if args.all else [args.config])
+    if args.all:
+        # --all: auxiliary configs first (each faults to a diagnostic line,
+        # never kills the run), headline LAST so the driver parses the llama
+        # line. Each config runs in its OWN subprocess: one axon/TPU process
+        # holds every buffer it ever allocated until exit, so running four
+        # engines in-process OOMs the chip on config 3+ (observed 2026-08-19:
+        # qwen+llama RESOURCE_EXHAUSTED after mla+moe).
+        import subprocess
+        for cfg_name in ["mla", "moe", "qwen", "llama"]:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--config", cfg_name,
+                   "--batch", str(args.batch), "--ctx", str(args.ctx),
+                   "--iters", str(args.iters)]
+            if args.smoke:
+                cmd.append("--smoke")
+            if args.cpu:
+                cmd.append("--cpu")
+            if not args.int8_kv:
+                cmd.append("--bf16-kv")
+            r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True)
+            sys.stdout.write(r.stdout)
+            sys.stdout.flush()
+        return 0
+    order = [args.config]
     last_err = None
     for cfg_name in order:
         ran = False
@@ -152,6 +173,13 @@ def run_bench(args):
     kv, ids, pos = stepk(params, kv, ids0, positions0)   # compile + warm
     int(np.asarray(ids[0]))                              # forced sync
 
+    trace_dir = os.environ.get("SKT_BENCH_TRACE")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            kv, ids, pos = stepk(params, kv, ids, pos)
+            int(np.asarray(ids[0]))
+        sys.stderr.write(f"bench trace (k_steps={k_steps}) -> {trace_dir}\n")
+
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -200,9 +228,20 @@ def _emit(metric, toks_per_s, roofline, detail):
 
 def _median_step(step, k_steps, reps, state, sync):
     """Warm-compile then time `reps` k-step calls of `step(state) -> state`;
-    returns (seconds/step, state)."""
+    returns (seconds/step, state).
+
+    SKT_BENCH_TRACE=<dir>: additionally capture a jax.profiler trace of one
+    post-warmup k-step call (parse with scripts/profile_bench.py
+    --parse-only --outdir <dir> --k-steps <k>). This is how every bench
+    config gets the per-op-class device-time budget, not just llama."""
     state = step(state)
     sync(state)
+    trace_dir = os.environ.get("SKT_BENCH_TRACE")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            state = step(state)
+            sync(state)
+        sys.stderr.write(f"bench trace (k_steps={k_steps}) -> {trace_dir}\n")
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -319,6 +358,13 @@ def run_bench_moe(args):
                                       w2q, w2s, chunk_rounds=rounds)
         out = step(x)
         jax.block_until_ready(out)
+        trace_dir = os.environ.get("SKT_BENCH_TRACE")
+        if trace_dir:
+            # per-rounds subdir: the comm/compute-overlap evidence VERDICT r2
+            # item 4 asks for (does chunking actually overlap under XLA?)
+            with jax.profiler.trace(f"{trace_dir}/rounds{rounds}"):
+                out = step(out.astype(jnp.bfloat16))
+                jax.block_until_ready(out)
         reps, loops = 3, 8
         times = []
         for _ in range(reps):

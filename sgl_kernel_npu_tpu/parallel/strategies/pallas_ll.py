@@ -1,12 +1,15 @@
 """Pallas ICI low-latency dispatch/combine — the custom-kernel tier.
 
-STATUS: kernel pair complete (dispatch + combine); validated in interpret mode
-(symmetric multi-dev + asymmetric 1-device loopback) and single-chip loopback
-on the real TPU. The data-dependent chunk-count protocol (the real design)
-runs whenever the mesh axis is 1 device (self-targeted remote DMA exercises
-descriptors/semaphores without a slice) and on real multi-chip slices; the
-multi-device interpret fallback pads to symmetric traffic because interpret
-mode accounts DMA semaphores sender-locally.
+STATUS: kernel pair complete (dispatch + combine). The data-dependent
+chunk-count protocol (the real design) runs EVERYWHERE: on real TPU slices,
+in single-chip loopback on the real TPU (self-targeted remote DMA exercises
+descriptors/semaphores without a slice), and off-TPU under
+`pltpu.InterpretParams` — the TPU-interpret simulator models per-device
+shared memory, remote DMAs and semaphores with real cross-device semantics,
+so asymmetric (per-rank data-dependent) traffic validates on the CPU test
+mesh at EP ∈ {2,4,8} (tests/test_pallas_ll.py). Round-2 history: the plain
+`interpret=True` interpreter accounted DMA semaphores sender-locally, which
+forced a symmetric-padded fallback off-TPU; that fallback is deleted.
 
 Reference parity: the optimized tier of the strategy stack
 (DefaultLowLatencyCommStrategy's aclnnMoeLowLatencyDispatchV2/
@@ -66,7 +69,7 @@ def _scatter_kernel(
     out_ref, s_out_ref,           # outputs  (ANY): [DST_ROWS, H], [DST_ROWS, 1]
     chunk_buf, s_chunk_buf, local_sem, s_local_sem,
     send_sem, recv_sem, s_send_sem, s_recv_sem,
-    *, num_ranks, slices_per_rank, symmetric, sym_chunks, with_scales,
+    *, num_ranks, slices_per_rank, with_scales,
 ):
     """Generic chunked ragged remote scatter (see module docstring).
 
@@ -78,7 +81,7 @@ def _scatter_kernel(
     spr = slices_per_rank
 
     def n_chunks(cnt):
-        return sym_chunks if symmetric else pl.cdiv(cnt, CHUNK)
+        return pl.cdiv(cnt, CHUNK)
 
     # --- sender: stream my slices into each receiver's slot regions.
     def per_slice(i, _):
@@ -154,8 +157,7 @@ def _scatter_kernel(
 
 
 def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
-                    num_ranks, slices_per_rank, out_rows, symmetric,
-                    sym_chunks):
+                    num_ranks, slices_per_rank, out_rows):
     """One launch of the generic kernel. scales may be None.
 
     Returns (out [out_rows, H], s_out [out_rows, 1] | None)."""
@@ -167,8 +169,7 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
 
     out, s_out = pl.pallas_call(
         partial(_scatter_kernel, num_ranks=num_ranks,
-                slices_per_rank=slices_per_rank, symmetric=symmetric,
-                sym_chunks=sym_chunks, with_scales=with_scales),
+                slices_per_rank=slices_per_rank, with_scales=with_scales),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(1,),
@@ -197,7 +198,16 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
         ),
-        interpret=interpret_mode(),
+        # Off-TPU: the TPU-interpret SIMULATOR (per-device shared memory +
+        # remote-DMA/semaphore semantics), NOT the plain interpreter — plain
+        # interpret accounts DMA semaphores sender-locally, deadlocking any
+        # asymmetric multi-device traffic. uninitialized_memory="zero"
+        # matches the zeros XLA hands a fresh HBM output buffer in practice;
+        # never-written padding slots must stay finite because combine
+        # multiplies gathered padding rows by weight 0 (0*NaN would poison
+        # the weighted sum).
+        interpret=(pltpu.InterpretParams(uninitialized_memory="zero")
+                   if interpret_mode() else False),
     )(send_cnt.reshape(-1).astype(jnp.int32),
       src_off.reshape(-1).astype(jnp.int32),
       dst_off.reshape(-1).astype(jnp.int32),
@@ -206,32 +216,14 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
     return out, (s_out if with_scales else None)
 
 
-def _use_symmetric(axis_name):
-    """Real asymmetric protocol needs either a real TPU slice or a 1-device
-    axis (self-targeted remote DMA is sound even in interpret mode — there is
-    only one device, so sender-local semaphore accounting IS global)."""
-    from ...utils import on_tpu
-    if on_tpu():
-        return False
-    try:
-        return jax.lax.axis_size(axis_name) > 1
-    except NameError:
-        return True
-
-
-def _aligned_layout(counts_flat, input_offsets, tk, r, el, maxt, symmetric):
+def _aligned_layout(counts_flat, input_offsets, tk, r, el, maxt):
     """Chunk-aligned send-buffer layout, derivable from the count matrix alone
     (so combine can reconstruct it from the base handle — no extra fields).
 
     Returns (aligned_offsets [R*El], aligned_pos [tk] slot->row (sbuf =
     invalid), sbuf static)."""
-    maxt_pad = ((maxt + CHUNK - 1) // CHUNK) * CHUNK
-    if symmetric:
-        aligned_sizes = jnp.full((r * el,), maxt_pad, jnp.int32)
-        sbuf = r * el * maxt_pad
-    else:
-        aligned_sizes = ((counts_flat + CHUNK - 1) // CHUNK) * CHUNK
-        sbuf = tk + r * el * (CHUNK - 1) + CHUNK
+    aligned_sizes = ((counts_flat + CHUNK - 1) // CHUNK) * CHUNK
+    sbuf = tk + r * el * (CHUNK - 1) + CHUNK
     aligned_offsets = _exclusive_cumsum(aligned_sizes)
     # slot -> owning slice: slot s belongs to slice i iff
     # input_offsets[i] <= s < input_offsets[i] + counts[i].
@@ -284,17 +276,13 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
             jnp.where(sorted_key < r * el, order, tk)
         ].set(jnp.arange(tk, dtype=jnp.int32), mode="drop")[:tk]
 
-        symmetric = _use_symmetric(axis_name)
-
         counts = jnp.sum(jax.nn.one_hot(key, r * el + 1, dtype=jnp.int32),
                          axis=0)[: r * el].reshape(r, el)
         input_offsets = _exclusive_cumsum(counts.reshape(-1))
         # chunk-align each slice's send region so fixed-size chunk DMAs never
         # leak another slice's rows: place slice i at offset aligned to CHUNK.
-        maxt_pad = ((maxt + CHUNK - 1) // CHUNK) * CHUNK
-        sym_chunks = maxt_pad // CHUNK
         aligned_offsets, _apos, sbuf = _aligned_layout(
-            counts.reshape(-1), input_offsets, tk, r, el, maxt, symmetric)
+            counts.reshape(-1), input_offsets, tk, r, el, maxt)
 
         tok = jnp.where(copy_of_slot < tk, copy_of_slot // k, 0)
         if quant_mode == "int8":
@@ -324,8 +312,7 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         dst_off = (ee * (r * maxt) + me * maxt).reshape(-1)
         recv_flat, s_flat = _remote_scatter(
             x_send, s_send, counts, aligned_offsets, dst_off, recv_counts,
-            num_ranks=r, slices_per_rank=el, out_rows=el * r * maxt,
-            symmetric=symmetric, sym_chunks=sym_chunks)
+            num_ranks=r, slices_per_rank=el, out_rows=el * r * maxt)
         recv_x = recv_flat.reshape(el, r * maxt, h)
         recv_scales = s_flat.reshape(el, r * maxt) if s_flat is not None else None
 
@@ -355,12 +342,8 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         el, _slots, h = x.shape
         r, maxt, t, k = hd.num_ranks, hd.max_tokens, hd.num_tokens, hd.topk
         tk = t * k
-        maxt_pad = ((maxt + CHUNK - 1) // CHUNK) * CHUNK
-        sym_chunks = maxt_pad // CHUNK
-        symmetric = _use_symmetric(axis_name)
         aligned_offsets, aligned_pos, sbuf = _aligned_layout(
-            hd.send_counts.reshape(-1), hd.input_offsets, tk, r, el, maxt,
-            symmetric)
+            hd.send_counts.reshape(-1), hd.input_offsets, tk, r, el, maxt)
 
         # Combine wiring: slice i=(src, e) of my expert outputs goes back to
         # rank src, landing at src's chunk-aligned send-slot region for
@@ -377,8 +360,7 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         back, _ = _remote_scatter(
             x.reshape(el * r * maxt, h), None,
             hd.recv_counts, src_off, their_aligned, hd.send_counts,
-            num_ranks=r, slices_per_rank=el, out_rows=sbuf,
-            symmetric=symmetric, sym_chunks=sym_chunks)
+            num_ranks=r, slices_per_rank=el, out_rows=sbuf)
 
         # Weighted sum over the k copies at the source (+0 for invalid).
         row = jnp.where(hd.copy_slot < tk,

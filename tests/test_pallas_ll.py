@@ -1,13 +1,16 @@
 """Pallas ICI dispatch/combine kernels (custom tier) vs the XLA oracle.
 
 Two validation layers (see pallas_ll.py STATUS):
-  * 1-device loopback (runs anywhere, incl. CPU interpret): the axis has one
-    rank, so every remote DMA self-targets (device_id=me) and the REAL
-    asymmetric data-dependent chunk-count protocol executes — descriptors and
-    semaphores are exercised without a multi-chip slice.
-  * multi-chip (skipped off-TPU): interpret mode runs devices sequentially
-    with sender-local DMA semaphore accounting, so asymmetric remote traffic
-    needs real hardware; the symmetric padded fallback covers interpret.
+  * 1-device loopback (runs anywhere): the axis has one rank, so every remote
+    DMA self-targets (device_id=me) and the asymmetric data-dependent
+    chunk-count protocol executes — descriptors and semaphores are exercised
+    without a multi-chip slice.
+  * multi-device (real TPU slices AND the 8-device CPU mesh): off-TPU the
+    kernels run under `pltpu.InterpretParams` — the TPU-interpret simulator
+    with real cross-device remote-DMA/semaphore semantics — so the asymmetric
+    protocol is validated at EP ∈ {2,4,8} with per-rank data-dependent
+    traffic (skewed routing included), matching the reference's multi-rank
+    dispatch/combine tests (tests/python/deepep/test_low_latency.py).
 """
 
 import jax
@@ -102,19 +105,21 @@ def test_loopback_skewed_routing(rng):
     assert_close(np.asarray(comb), 2.0 * x, rtol=1e-3, atol=1e-3)
 
 
-# ----------------------------------------------------------- multi-chip
+# ------------------------------------------------- multi-device (CPU + TPU)
 
 multichip = pytest.mark.skipif(
-    jax.default_backend() != "tpu" or len(jax.devices()) < 2,
-    reason="requires real multi-chip TPU (interpret-mode RDMA is unsound for asymmetric traffic)",
+    len(jax.devices()) < 2,
+    reason="requires >=2 devices (real slice or the CPU test mesh)",
 )
 
 
 @multichip
-def test_pallas_dispatch_matches_default(rng):
-    mesh = Mesh(np.array(jax.devices()[:R]), ("ep",))
-    total = R * T
-    el = E // R
+@pytest.mark.parametrize("r", [2, 4, 8])
+def test_pallas_dispatch_matches_default(rng, r):
+    r = min(r, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:r]), ("ep",))
+    total = r * T
+    el = E // r
     x = rng.standard_normal((total, H), dtype=np.float32)
     idx = np.stack([rng.choice(E, K, replace=False) for _ in range(total)]).astype(np.int32)
     w = rng.random((total, K)).astype(np.float32)
@@ -134,11 +139,11 @@ def test_pallas_dispatch_matches_default(rng):
     np.testing.assert_array_equal(d[1], p[1])   # packed counts
     np.testing.assert_array_equal(d[2], p[2])   # layout ranges
     # valid slot regions agree exactly (padding is undefined in the kernel tier)
-    lr = d[2].reshape(R, R, el)  # [dst, src, e]
-    rx_d = d[0].reshape(R, el, R * T, H)
-    rx_p = p[0].reshape(R, el, R * T, H)
-    for dst in range(R):
-        for src in range(R):
+    lr = d[2].reshape(r, r, el)  # [dst, src, e]
+    rx_d = d[0].reshape(r, el, r * T, H)
+    rx_p = p[0].reshape(r, el, r * T, H)
+    for dst in range(r):
+        for src in range(r):
             for e in range(el):
                 n = lr[dst, src, e]
                 if n:
@@ -151,9 +156,39 @@ def test_pallas_dispatch_matches_default(rng):
 
 
 @multichip
+def test_pallas_multidev_skewed_routing(rng):
+    """Maximally asymmetric traffic: every token on every rank routes to
+    experts living on rank 0 only, so rank 0 receives r*T*K rows while the
+    others receive zero — the per-rank data-dependent chunk counts the
+    symmetric fallback could never exercise."""
+    r = min(4, len(jax.devices()))
+    el = E // r
+    mesh = Mesh(np.array(jax.devices()[:r]), ("ep",))
+    total = r * T
+    x = rng.standard_normal((total, H), dtype=np.float32)
+    idx = np.stack([rng.choice(el, K, replace=False)      # rank-0 experts
+                    for _ in range(total)]).astype(np.int32)
+    w = rng.random((total, K)).astype(np.float32)
+    xs = jax.device_put(jnp.array(x), jax.NamedSharding(mesh, P("ep")))
+    # rank 0 must hold every copy: maxt >= r*T (all ranks' tokens land there)
+    buf = Buffer(mesh, E, low_latency_strategy="pallas",
+                 num_max_dispatch_tokens_per_rank=T)
+    recv_x, _, packed, lr, handle = buf.low_latency_dispatch(
+        xs, jnp.array(idx), quant_mode="bf16")
+    packed = np.asarray(packed).reshape(r, el)
+    assert packed[0].sum() == total * K and packed[1:].sum() == 0
+    comb = buf.low_latency_combine(recv_x, jnp.array(idx), jnp.array(w),
+                                   handle)
+    w_valid = np.where(idx >= 0, w, 0.0)
+    assert_close(np.asarray(comb), x * w_valid.sum(-1, keepdims=True),
+                 rtol=1e-3, atol=1e-3)
+
+
+@multichip
 def test_pallas_dispatch_int8(rng):
-    mesh = Mesh(np.array(jax.devices()[:R]), ("ep",))
-    total = R * T
+    r = min(R, len(jax.devices()))
+    mesh = Mesh(np.array(jax.devices()[:r]), ("ep",))
+    total = r * T
     x = rng.standard_normal((total, H), dtype=np.float32)
     idx = np.stack([rng.choice(E, K, replace=False) for _ in range(total)]).astype(np.int32)
     w = rng.random((total, K)).astype(np.float32)
