@@ -254,6 +254,26 @@ def _qmm_l(x, bank, li):
                                      out_dtype=x.dtype)
 
 
+def _nrq_l(x, norm_w, bank, li, eps):
+    """Fused RMSNorm -> per-token INT8 quant -> W8A8 GEMM at layer li
+    (ops/rmsq_gemm.py — the perf tier of the reference's RMSNormQuant->GEMM
+    core, mla_preprocess_kernel.cpp:140-236): the normalized int8 activation
+    never round-trips HBM, replacing the _rmsnorm + per_token_quant_int8 +
+    GEMM three-pass sequence with one kernel launch per layer.
+
+    Requires a pre-tiled 4-D bank (pretile_big_weights); falls back to the
+    unfused pair off-pallas, for untiled banks, or under SKT_FUSED_RMSQ=0
+    (the on-chip A/B switch)."""
+    if (use_pallas() and bank["q"].ndim == 4 and x.shape[0] >= 8
+            and env.env_bool("SKT_FUSED_RMSQ", True)):
+        from ..ops.rmsq_gemm import rmsnorm_quant_gemm
+        beta = jnp.zeros((x.shape[-1],), jnp.float32)
+        return rmsnorm_quant_gemm(
+            x, norm_w, beta, bank["q"], bank["scale"], None, li=li,
+            quant_mode="per_token", eps=eps, out_dtype=x.dtype)
+    return _qmm_l(_rmsnorm(x, norm_w, eps), bank, li)
+
+
 def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                    input_ids, positions, seq_lens, block_table, slot_mapping,
                    tp_axis=None, lora_ids=None):
@@ -299,8 +319,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                 shrunk, lp["lora_wo_B"], lora_ids, wo_out, 0,
                 wo_out.shape[-1])
         x = x + _reduce(wo_out)
-        h2 = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
-        ug = _qmm_l(h2, big["w13"], li)
+        ug = _nrq_l(x, lp["post_norm"], big["w13"], li, cfg.rms_eps)
         f = cfg.intermediate_size
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
@@ -349,8 +368,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         x, kv_all, li = carry
         lp = inputs
 
-        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
-        qkv = _qmm_l(h1, big["wqkv"], li)
+        qkv = _nrq_l(x, lp["input_norm"], big["wqkv"], li, cfg.rms_eps)
         q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
         q = q.reshape(b, hq, d)
         k = k.reshape(b, hkv, d)
@@ -436,8 +454,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     def layer_defer(carry, lp):
         # read-only cache: attend cached tokens + current token from registers
         x, li = carry
-        h1 = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
-        qkv = _qmm_l(h1, big["wqkv"], li)
+        qkv = _nrq_l(x, lp["input_norm"], big["wqkv"], li, cfg.rms_eps)
         q, k, v = jnp.split(qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
         q = q.reshape(b, hq, d)
         k = k.reshape(b, hkv, d)

@@ -23,12 +23,17 @@ remaining n-steps. Recomputing it per n-step would roughly double the
 kernel's runtime at the mla shapes (VPU quant ~3 us per 256x7168 block vs
 ~4 us weight DMA per 7168x512 tile).
 
-Numerics note: the unfused reference path clamps the quantized value in
-fp16 before rounding (test_mla_preprocess.py:75-81); this kernel rounds in
-f32. The two can differ by +/-1 LSB for values within fp16 rounding distance
-of a .5 boundary — the fused tier is validated against the composition with
-a match-fraction + output-tolerance test, while golden-exact tests stay on
-the unfused path.
+Numerics note: the reference clamps the quantized value in fp16 before
+rounding (mla_preprocess quant_per_tensor; test_mla_preprocess.py:75-81).
+quant_cast="fp16" reproduces that exactly (a VPU cast, zero extra cost);
+the default "f32" rounds in f32 — a better quantizer, used by the Llama
+W8A8 path whose checkpoints were calibrated without the fp16 clamp. Either
+way, ANY fused-vs-unfused comparison can see rare +/-1-LSB flips on values
+within a ulp of a rounding boundary (separately compiled float pipelines
+may differ in FMA contraction), so parity tests must be quant-flip-aware:
+bound the output error by a few flip-effects and require a high exact-match
+fraction, never atol=1e-5 (root-caused 2026-08-20: 1 flip per ~4e5 elements
+flipped only under the 8-virtual-device test env).
 """
 
 from __future__ import annotations
@@ -43,9 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import cdiv, interpret_mode
 
 
-def _rmsq_kernel(eid_ref, x_ref, g_ref, b_ref, rs_ref, qi_ref, qo_ref,
+def _rmsq_kernel(eid_ref, x_ref, g_ref, b_ref, rs_ref, qs_ref, qo_ref,
                  os_ref, w_ref, ds_ref, bias_ref, out_ref,
-                 acc_ref, xq_ref, *, k_tiles, block_k, tiled):
+                 acc_ref, xq_ref, *, k_tiles, block_k, tiled, fp16_cast):
     j = pl.program_id(1)
     kk = pl.program_id(2)
 
@@ -57,10 +62,27 @@ def _rmsq_kernel(eid_ref, x_ref, g_ref, b_ref, rs_ref, qi_ref, qo_ref,
     def _():
         # normalize + affine + quantize this x block once per (i, kk);
         # n-steps j>0 replay the cached int8 block from VMEM (recomputing per
-        # n-step would ~double runtime at the mla shapes — see module doc)
+        # n-step would ~double runtime at the mla shapes — see module doc).
+        # NB divide by the scale (not multiply by a reciprocal): that is the
+        # reference quantizer's formula (ops/quant.py) and a divide cannot be
+        # FMA-contracted into a different rounding by the compiler.
         xn = (x_ref[...].astype(jnp.float32) * rs_ref[...] * g_ref[...]
               + b_ref[...])
-        q = jnp.clip(jnp.round(xn * qi_ref[...] + qo_ref[...]), -128, 127)
+        qv = xn / qs_ref[...] + qo_ref[...]
+        if fp16_cast:
+            # fp16 rounding WITHOUT an f16 cast: Mosaic on v5e rejects the
+            # f32->f16 pack_subelements this position needs (verified
+            # 2026-08-20). Round-to-nearest-even to fp16's 10-bit mantissa by
+            # integer bit math on the f32 representation — exact for all
+            # fp16-normal magnitudes; sub-normal/overflow inputs land outside
+            # [-128.5, 127.5] or inside (-0.5, 0.5) where round+clip erase
+            # the difference anyway.
+            ri = jax.lax.bitcast_convert_type(qv, jnp.int32)
+            ri = ri + 0xFFF + jnp.bitwise_and(jax.lax.shift_right_logical(
+                ri, 13), 1)
+            ri = jnp.bitwise_and(ri, jnp.int32(-8192))   # clear low 13 bits
+            qv = jax.lax.bitcast_convert_type(ri, jnp.float32)
+        q = jnp.clip(jnp.round(qv), -128, 127)
         xq_ref[kk] = q.astype(jnp.int8)
 
     xq = xq_ref[kk]
@@ -79,9 +101,9 @@ def _rmsq_kernel(eid_ref, x_ref, g_ref, b_ref, rs_ref, qi_ref, qo_ref,
 def _row_stats(x, gamma, beta, quant_scale, quant_offset, quant_mode,
                apply_norm, eps):
     """XLA-side per-row statistics: rstd (the only cross-K reduction RMSNorm
-    needs), the quant multiplier 1/scale, the additive offset, and the
-    epilogue per-row output scale. All outputs are [M, 1] / [1, 1] f32 — the
-    bulk math stays in the kernel."""
+    needs), the quant divisor scale, the additive offset, and the epilogue
+    per-row output scale. All outputs are [M, 1] / [1, 1] f32 — the bulk
+    math stays in the kernel."""
     m = x.shape[0]
     x32 = x.astype(jnp.float32)
     if apply_norm:
@@ -89,8 +111,8 @@ def _row_stats(x, gamma, beta, quant_scale, quant_offset, quant_mode,
     else:
         rstd = jnp.ones((m, 1), jnp.float32)
     if quant_mode == "per_tensor":
-        qinv = jnp.broadcast_to(
-            1.0 / quant_scale.astype(jnp.float32).reshape(()), (m, 1))
+        qdiv = jnp.broadcast_to(
+            quant_scale.astype(jnp.float32).reshape(()), (m, 1))
         qoff = quant_offset.astype(jnp.float32).reshape(1, 1)
         outsc = jnp.ones((m, 1), jnp.float32)
     else:  # per_token dynamic symmetric (ops/quant.py::per_token_quant_int8)
@@ -98,17 +120,18 @@ def _row_stats(x, gamma, beta, quant_scale, quant_offset, quant_mode,
             + beta.astype(jnp.float32)[None, :]
         amax = jnp.max(jnp.abs(normed), axis=-1, keepdims=True)
         scale = jnp.maximum(amax, 1e-7) / 127.0
-        qinv = 1.0 / scale
+        qdiv = scale
         qoff = jnp.zeros((1, 1), jnp.float32)
         outsc = scale
-    return rstd, qinv, qoff, outsc
+    return rstd, qdiv, qoff, outsc
 
 
 def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
                        quant_scale=None, quant_offset=None, li=None,
                        quant_mode: str = "per_tensor", apply_norm: bool = True,
                        eps: float = 1e-6, out_dtype=jnp.float32,
-                       block_m: int = 256, block_n: int = 512):
+                       block_m: int = 256, block_n: int = 512,
+                       quant_cast: str = "f32"):
     """out[M, N] = dequant((quant(rmsnorm(x) * gamma + beta) @ w) + bias).
 
     x [M, K] bf16/f32; gamma/beta [K] f32; w either [K, N] int8 or a
@@ -119,7 +142,10 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
     checkpoint exporter, exactly as the reference op expects); "per_token"
     computes dynamic symmetric row scales and multiplies them in the epilogue.
     apply_norm=False skips the RMSNorm (mla golden mode) but keeps the affine.
+    quant_cast="fp16" clamps the pre-round value to fp16 first — the
+    reference's quant_per_tensor semantics (see module doc).
     """
+    assert quant_cast in ("f32", "fp16"), quant_cast
     m, k = x.shape
     tiled = w.ndim == 4
     if tiled:
@@ -149,7 +175,7 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
     assert k % block_k == 0 and block_k % 128 == 0, (k, block_k)
     k_tiles = k // block_k
 
-    rstd, qinv, qoff, outsc = _row_stats(
+    rstd, qdiv, qoff, outsc = _row_stats(
         x, gamma, beta, quant_scale, quant_offset, quant_mode, apply_norm, eps)
 
     grid = (cdiv(m, block_m), cdiv(n, bn), k_tiles)
@@ -181,7 +207,8 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
                         pltpu.VMEM((k_tiles, block_m, block_k), jnp.int8)],
     )
     return pl.pallas_call(
-        partial(_rmsq_kernel, k_tiles=k_tiles, block_k=block_k, tiled=tiled),
+        partial(_rmsq_kernel, k_tiles=k_tiles, block_k=block_k, tiled=tiled,
+                fp16_cast=(quant_cast == "fp16")),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -194,7 +221,7 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
         ),
         interpret=interpret_mode(),
     )(tile_map, x, gamma.astype(jnp.float32).reshape(1, k),
-      beta.astype(jnp.float32).reshape(1, k), rstd, qinv, qoff, outsc,
+      beta.astype(jnp.float32).reshape(1, k), rstd, qdiv, qoff, outsc,
       w, descale.astype(jnp.float32), bias)
 
 
@@ -202,13 +229,16 @@ def rmsnorm_quant_gemm_ref(x, gamma, beta, w_kn, descale, bias=None,
                            quant_scale=None, quant_offset=None,
                            quant_mode: str = "per_tensor",
                            apply_norm: bool = True, eps: float = 1e-6,
-                           out_dtype=jnp.float32):
-    """Unfused twin (f32 rounding, same as the kernel) for parity tests."""
-    rstd, qinv, qoff, outsc = _row_stats(
+                           out_dtype=jnp.float32, quant_cast: str = "f32"):
+    """Unfused twin (same quant formula as the kernel) for parity tests."""
+    rstd, qdiv, qoff, outsc = _row_stats(
         x, gamma, beta, quant_scale, quant_offset, quant_mode, apply_norm, eps)
     xn = (x.astype(jnp.float32) * rstd * gamma.astype(jnp.float32)[None, :]
           + beta.astype(jnp.float32)[None, :])
-    q = jnp.clip(jnp.round(xn * qinv + qoff), -128, 127).astype(jnp.int8)
+    qv = xn / qdiv + qoff
+    if quant_cast == "fp16":
+        qv = qv.astype(jnp.float16).astype(jnp.float32)
+    q = jnp.clip(jnp.round(qv), -128, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(q, w_kn, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     if bias is not None:

@@ -210,7 +210,8 @@ class Buffer:
 
     def dispatch(self, x, topk_idx, topk_weights, quant_mode: str = "bf16",
                  capacity_factor: float = 2.0, config: Optional[Config] = None,
-                 dispatch_wait_recv_cost_stats=None):
+                 dispatch_wait_recv_cost_stats=None,
+                 on_overflow: str = "retry"):
         """Normal-mode dispatch. Inputs sharded over the EP axis on dim 0.
 
         Returns per-rank-sharded (recv_x, recv_x_scales, recv_topk_idx,
@@ -223,7 +224,20 @@ class Buffer:
         XLA exposes no in-graph cycle counter, so the TPU contract records
         traffic volume (the load-balance signal); wall-time per collective
         comes from `jax.profiler` traces instead.
+
+        Overflow contract (`on_overflow`): static receive buffers hold
+        capacity_factor * T * min(K, R) rows per rank; adversarially skewed
+        routing with K < R can exceed that. The reference cannot hit this (it
+        sizes outputs exactly via .item() syncs, deep_ep.cpp:298-303); here:
+          * "retry" (default): check the per-rank overflow flag (ONE small
+            D2H sync — the reference pays two .item() syncs on this same
+            path) and transparently re-dispatch at the exact worst-case
+            capacity (R*T rows) — no token is ever dropped.
+          * "flag": fully async; the per-rank bool rides `handle.overflow`
+            and the caller decides (rows beyond capacity were dropped).
+          * "error": like retry's check, but raises RuntimeError instead.
         """
+        assert on_overflow in ("retry", "flag", "error"), on_overflow
         if env.bf16_dispatch():
             quant_mode = "bf16"
         config = config or Config.get_dispatch_config(self.num_ranks)
@@ -244,24 +258,43 @@ class Buffer:
                     res.recv_count[None], res.recv_tokens_per_expert,
                     hd.send_slot_token, hd.send_valid, hd.send_counts,
                     hd.input_offsets, hd.output_offsets, hd.recv_sizes,
-                    hd.recv_offsets)
+                    hd.recv_offsets, jnp.asarray(res.overflow).reshape(1))
 
         out = self._smap(
             fn,
             in_specs=(self._ep(), self._ep(), self._ep()),
-            out_specs=tuple([self._ep()] * 13),
+            out_specs=tuple([self._ep()] * 14),
             key=("dispatch", quant_mode, capacity_factor, config),
         )(x, topk_idx, topk_weights)
         (recv_x, scales, recv_idx, recv_w, recv_count, per_expert,
-         s_tok, s_valid, s_counts, i_off, o_off, r_sizes, r_off) = out
+         s_tok, s_valid, s_counts, i_off, o_off, r_sizes, r_off,
+         overflow) = out
         t = x.shape[0] // self.num_ranks
         k = topk_idx.shape[1]
+        if on_overflow != "flag" and bool(jax.device_get(overflow).any()):
+            if on_overflow == "error":
+                raise RuntimeError(
+                    "normal dispatch overflow: skewed routing exceeded "
+                    f"capacity_factor={capacity_factor} receive buffers "
+                    "(rows would be dropped); retry with on_overflow='retry' "
+                    "or a larger capacity_factor")
+            # exact worst case: every rank sends its full T rows here -> the
+            # min(rbuf, R*T) clamp in the strategy makes overflow impossible
+            get_logger().warning(
+                "dispatch overflow at capacity_factor=%s; re-dispatching at "
+                "worst-case capacity (R*T rows)", capacity_factor)
+            return self.dispatch(
+                x, topk_idx, topk_weights, quant_mode=quant_mode,
+                capacity_factor=float(self.num_ranks * t), config=config,
+                dispatch_wait_recv_cost_stats=dispatch_wait_recv_cost_stats,
+                on_overflow="flag")
         handle = _normal.DispatchHandle(
             send_slot_token=s_tok, send_valid=s_valid, send_counts=s_counts,
             input_offsets=i_off, output_offsets=o_off, recv_sizes=r_sizes,
             recv_offsets=r_off, num_tokens=t, topk=k,
             sbuf=t * min(k, self.num_ranks),
             rbuf=recv_x.shape[0] // self.num_ranks,
+            overflow=overflow,
         )
         out = (recv_x, (scales if quant_mode in ("int8", "fp8") else None),
                recv_idx, recv_w, recv_count, per_expert, handle)

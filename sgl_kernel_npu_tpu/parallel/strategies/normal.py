@@ -61,6 +61,7 @@ class DispatchHandle:
     topk: int                 # K (static)
     sbuf: int                 # send capacity (static)
     rbuf: int                 # recv capacity (static)
+    overflow: Any = None      # per-rank bool (facade-attached; None inside jit)
 
 
 @dataclass

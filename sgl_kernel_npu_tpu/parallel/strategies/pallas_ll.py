@@ -252,23 +252,28 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
                              num_ranks, num_max_dispatch_tokens_per_rank,
                              quant_mode="bf16", elastic_info=None,
                              shared_expert_rank_num=0):
-        assert elastic_info is None and shared_expert_rank_num == 0, \
-            "pallas tier: base contract (use 'default' for elastic/shared)"
+        """Elastic EP + shared-expert ranks are first-class here too (ref:
+        elasticInfo inside the optimized kernels,
+        moe_distribute_dispatch_v2.h:261-283, shared ranks deep_ep.cpp:838-846):
+        both are host-side routing math (_route_copies) feeding the same wire
+        kernels — the remap changes WHICH slices carry rows, not the protocol.
+        """
         from ...ops.quant import per_token_quant_int8
 
         t, h = x.shape
         k = topk_idx.shape[1]
         r = num_ranks
-        el = num_experts // r
+        s = shared_expert_rank_num
+        el = (num_experts // (r - s)) if s > 0 else num_experts // r
         maxt = num_max_dispatch_tokens_per_rank
         assert t <= maxt
         # chunked writes land in maxt-strided recv slot regions; the last
         # chunk of a full slice must not spill into the next region
         assert maxt % CHUNK == 0 or maxt < CHUNK, \
             f"maxt={maxt} must be CHUNK({CHUNK})-aligned (or < CHUNK)"
-        tk = t * k
+        tk = t * k + (t if s > 0 else 0)   # +1 shared copy per token
 
-        key, _ok = _route_copies(topk_idx, r, el)
+        key, _ok = _route_copies(topk_idx, r, el, elastic_info, s)
         order = jnp.argsort(key, stable=True)
         sorted_key = key[order]
         copy_of_slot = jnp.where(sorted_key < r * el, order, tk)
@@ -284,7 +289,9 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         aligned_offsets, _apos, sbuf = _aligned_layout(
             counts.reshape(-1), input_offsets, tk, r, el, maxt)
 
-        tok = jnp.where(copy_of_slot < tk, copy_of_slot // k, 0)
+        tok = jnp.where(
+            copy_of_slot < t * k, copy_of_slot // k, copy_of_slot - t * k)
+        tok = jnp.where(copy_of_slot < tk, jnp.clip(tok, 0, t - 1), 0)
         if quant_mode == "int8":
             xq, xs = per_token_quant_int8(x)
             payload = xq[tok]
@@ -341,7 +348,8 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         hd: LowLatencyHandle = handle
         el, _slots, h = x.shape
         r, maxt, t, k = hd.num_ranks, hd.max_tokens, hd.num_tokens, hd.topk
-        tk = t * k
+        tk = hd.copy_slot.shape[0]   # t*k, or t*k + t with shared-expert ranks
+        has_shared = tk > t * k
         aligned_offsets, aligned_pos, sbuf = _aligned_layout(
             hd.send_counts.reshape(-1), hd.input_offsets, tk, r, el, maxt)
 
@@ -362,13 +370,21 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
             hd.recv_counts, src_off, their_aligned, hd.send_counts,
             num_ranks=r, slices_per_rank=el, out_rows=sbuf)
 
-        # Weighted sum over the k copies at the source (+0 for invalid).
+        # Weighted sum over the k copies at the source (+0 for invalid);
+        # shared-expert copies (one per token after the T*K routed ones, ref
+        # deep_ep.cpp:838-846) add with weight 1.0.
         row = jnp.where(hd.copy_slot < tk,
                         aligned_pos[jnp.clip(hd.copy_slot, 0, tk - 1)], sbuf)
-        copies = back[jnp.clip(row, 0, sbuf - 1)]              # [T*K, H]
-        w = jnp.where(topk_idx.reshape(-1) >= 0,
-                      topk_weights.reshape(-1), 0.0)
+        copies = back[jnp.clip(row, 0, sbuf - 1)]              # [TK(+T), H]
+        w_routed = jnp.where(topk_idx.reshape(-1) >= 0,
+                             topk_weights.reshape(-1), 0.0)
+        if has_shared:
+            w = jnp.concatenate([w_routed, jnp.ones((t,), w_routed.dtype)])
+        else:
+            w = w_routed
         w = jnp.where((hd.copy_slot < tk) & (row < sbuf), w, 0.0)
-        combined = jnp.sum(
-            (copies.astype(jnp.float32) * w[:, None]).reshape(t, k, h), axis=1)
+        copies = copies.astype(jnp.float32) * w[:, None]
+        combined = jnp.sum(copies[: t * k].reshape(t, k, h), axis=1)
+        if has_shared:
+            combined = combined + copies[t * k:]
         return combined.astype(x.dtype)

@@ -27,11 +27,15 @@ def _routing(rng, total):
     return idx, w
 
 
-def test_elastic_scale_down_reroutes(rng):
+@pytest.mark.parametrize("strategy", ["default", "pallas"])
+def test_elastic_scale_down_reroutes(rng, strategy):
     """With rank 3 dead (remapped to rank 1 under renumbering), no tokens land
-    on rank 3 and combine still reconstructs every token."""
+    on rank 3 and combine still reconstructs every token. Covers the custom
+    pallas kernel tier too (ref: elasticInfo INSIDE the optimized kernels,
+    moe_distribute_dispatch_v2.h:261-283)."""
     mesh = _mesh()
-    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T)
+    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T,
+                 low_latency_strategy=strategy)
     total = R * T
     x = rng.standard_normal((total, H), dtype=np.float32)
     topk_idx, topk_w = _routing(rng, total)
@@ -60,14 +64,16 @@ def test_elastic_scale_down_reroutes(rng):
     assert_close(combined, golden, rtol=1e-3, atol=1e-3)
 
 
-def test_shared_expert_ranks(rng, monkeypatch):
+@pytest.mark.parametrize("strategy", ["default", "pallas"])
+def test_shared_expert_ranks(rng, monkeypatch, strategy):
     """SKT_SHARED_EXPERT_RANK_NUM=2: ranks 0-1 receive one copy of every token
     (round-robin) and combine adds the shared contribution with weight 1."""
     monkeypatch.setenv("SKT_SHARED_EXPERT_RANK_NUM", "2")
     mesh = _mesh()
     s = 2
     e_routed = (R - s) * (E // R)  # experts on routed ranks
-    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T)
+    buf = Buffer(mesh, E, num_max_dispatch_tokens_per_rank=T,
+                 low_latency_strategy=strategy)
     total = R * T
     x = rng.standard_normal((total, H), dtype=np.float32)
     idx = np.stack([rng.choice(e_routed, K, replace=False) for _ in range(total)]).astype(np.int32)
