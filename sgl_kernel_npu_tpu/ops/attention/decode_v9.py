@@ -34,7 +34,7 @@ from .decode_v6 import _finalize_rows
 
 _NEG_INF = -1e30
 NBUF = int(__import__("os").environ.get("SKT_V9_NBUF", "4"))
-CHUNK_PAGES = 4
+CHUNK_PAGES = int(__import__("os").environ.get("SKT_V9_CP", "4"))
 
 
 def _kernel_v9_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,

@@ -21,6 +21,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import cdiv, interpret_mode, use_pallas
 
 _NEG_INF = -1e30
 
@@ -111,3 +115,223 @@ def topk_sparse_attention(q, k_cache, v_cache, topk_indices, seq_lens,
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhk,bkd->bhd", p, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------- Pallas kernels
+
+def _topk_kernel(idx_ref, q_ref, k_hbm, v_hbm, out_ref,
+                 kbuf, vbuf, acc_ref, m_ref, l_ref, sems,
+                 *, page_size, sm_scale, chunk, nc, nbuf, total):
+    """Chunked top-k gather attention stream (decode_v9's pipeline shape:
+    while the MXU scores chunk s, the DMA engines gather chunk s+1..s+nbuf-1).
+
+    Grid (batch * nc,): step s = (b, c) consumes `chunk` selected KV rows
+    pre-staged in VMEM slot s%nbuf (per-row async copies; invalid ids clamp
+    to row 0 and are masked in the scores), does one [H, chunk] MXU dot,
+    online-softmax accumulates, and emits at the sequence's last chunk."""
+    ps = page_size
+    s = pl.program_id(0)
+    bb = s // nc
+    c = s - bb * nc
+    slot = jax.lax.rem(s, nbuf)
+
+    def dma_chunk(slot2, s2, start):
+        b2 = s2 // nc
+        c2 = s2 - b2 * nc
+
+        def row(j, _):
+            sl = jnp.maximum(idx_ref[b2, c2 * chunk + j], 0)
+            page = sl // ps
+            off = sl - page * ps
+            kcp = pltpu.make_async_copy(
+                k_hbm.at[page, off], kbuf.at[slot2, j], sems.at[slot2, 0])
+            vcp = pltpu.make_async_copy(
+                v_hbm.at[page, off], vbuf.at[slot2, j], sems.at[slot2, 1])
+            if start:
+                kcp.start()
+                vcp.start()
+            else:
+                kcp.wait()
+                vcp.wait()
+            return _
+
+        jax.lax.fori_loop(0, chunk, row, 0)
+
+    @pl.when(s == 0)
+    def _prologue():
+        for s0 in range(min(nbuf, total)):
+            dma_chunk(jnp.int32(s0 % nbuf), jnp.int32(s0), True)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    dma_chunk(slot, s, False)   # wait for my chunk
+
+    q2 = q_ref[0].astype(jnp.float32)                     # [H, D]
+    k2 = kbuf[slot].astype(jnp.float32)                   # [chunk, D]
+    v2 = vbuf[slot].astype(jnp.float32)                   # [chunk, Dv]
+    sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    valid = idx_ref[bb, pl.ds(c * chunk, chunk)][None, :] >= 0
+    sc = jnp.where(valid, sc * sm_scale, _NEG_INF)
+
+    m_new = jnp.maximum(m_ref[...], jnp.max(sc, -1, keepdims=True))
+    p = jnp.exp(sc - m_new)
+    alpha = jnp.exp(m_ref[...] - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, -1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(c == nc - 1)
+    def _emit():
+        denom = jnp.maximum(l_ref[...], 1e-20)
+        out_ref[0] = (acc_ref[...] / denom).astype(out_ref.dtype)
+
+    # refill this slot only AFTER its rows were consumed above (starting the
+    # next chunk's copies before the dot would race the very buffer it reads)
+    @pl.when(s + nbuf < total)
+    def _prefetch():
+        dma_chunk(slot, s + nbuf, True)
+
+
+def topk_sparse_attention_pallas(q, k_cache, v_cache, topk_indices, sm_scale,
+                                 page_size: int, chunk: int = 128,
+                                 nbuf: int = 2):
+    """Pallas tier of topk_sparse_attention (ref: rainfusion's paged top-k
+    kernel, csrc/attentions plugin/register_ops.cpp:29-34): the row gather is
+    per-row async DMA pipelined whole chunks ahead, and scoring is one MXU
+    dot per chunk — no [B, K, D] gather ever materializes in HBM."""
+    from functools import partial as _partial
+
+    b, h, d = q.shape
+    kk = topk_indices.shape[1]
+    dv = v_cache.shape[-1]
+    chunk = min(chunk, kk)
+    nc = cdiv(kk, chunk)
+    pad = nc * chunk - kk
+    idx = jnp.pad(topk_indices.astype(jnp.int32), ((0, 0), (0, pad)),
+                  constant_values=-1)
+    total = b * nc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda s, idx: (s // nc, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, h, dv), lambda s, idx: (s // nc, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, chunk, d), k_cache.dtype),
+            pltpu.VMEM((nbuf, chunk, dv), v_cache.dtype),
+            pltpu.VMEM((h, dv), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _partial(_topk_kernel, page_size=page_size, sm_scale=sm_scale,
+                 chunk=chunk, nc=nc, nbuf=nbuf, total=total),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret_mode(),
+    )(idx, q, k_cache, v_cache)
+
+
+def topk_sparse_attention_dispatch(q, k_cache, v_cache, topk_indices,
+                                   seq_lens, sm_scale, page_size: int):
+    """use_pallas()-gated wrapper (same Mosaic gating rules as decode.py:
+    lane dims must be 128-multiples on real chips)."""
+    d, dv = q.shape[-1], v_cache.shape[-1]
+    if use_pallas() and d % 128 == 0 and dv % 128 == 0:
+        return topk_sparse_attention_pallas(
+            q, k_cache, v_cache, topk_indices, sm_scale, page_size)
+    return topk_sparse_attention(q, k_cache, v_cache, topk_indices, seq_lens,
+                                 sm_scale, page_size)
+
+
+def _estimate_kernel(q_ref, k_ref, out_ref, *, block_size, nq, nk, causal):
+    """Fused block-pool + score GEMM: scores[i, j] = mean(q block i) .
+    mean(k block j) without materializing the pooled tensors in HBM."""
+    tq = q_ref.shape[1]
+    tk = k_ref.shape[1]
+    d = q_ref.shape[2]
+    inv = 1.0 / (block_size * block_size)
+
+    q = q_ref[0].astype(jnp.float32)                       # [Tq, D]
+    k = k_ref[0].astype(jnp.float32)
+    qs = jnp.sum(q.reshape(nq, block_size, d), axis=1)     # [NQ, D]
+    ks = jnp.sum(k.reshape(nk, block_size, d), axis=1)
+    sc = jax.lax.dot_general(qs, ks, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * inv
+    if causal:
+        cm = (jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0)
+              >= jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1))
+        sc = jnp.where(cm, sc, _NEG_INF)
+    out_ref[0] = sc
+
+
+def sparse_block_estimate_pallas(q, k, block_size: int,
+                                 keep_ratio: float = 0.25,
+                                 causal: bool = True,
+                                 always_keep_first: bool = True,
+                                 always_keep_last: bool = True):
+    """Pallas tier of sparse_block_estimate (ref: sparse_block_estimate
+    plugin, csrc/attentions/csrc/plugin/sparse_block_estimate.cpp:72-83):
+    one fused pool+GEMM launch per (batch, head) computes the block-score
+    matrix; the top-k thresholding (a tiny [NQ, NK] sort) stays in XLA —
+    Mosaic has no lane sort, and the matrix is KBs."""
+    from functools import partial as _partial
+
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    nq, nk = -(-tq // block_size), -(-tk // block_size)
+    padq, padk = nq * block_size - tq, nk * block_size - tk
+    q4 = jnp.pad(q, ((0, 0), (0, 0), (0, padq), (0, 0))).reshape(
+        b * h, nq * block_size, d)
+    k4 = jnp.pad(k, ((0, 0), (0, 0), (0, padk), (0, 0))).reshape(
+        b * h, nk * block_size, d)
+
+    scores = pl.pallas_call(
+        _partial(_estimate_kernel, block_size=block_size, nq=nq, nk=nk,
+                 causal=causal),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, nq * block_size, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, nk * block_size, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nq, nk), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, nk), jnp.float32),
+        interpret=interpret_mode(),
+    )(q4, k4).reshape(b, h, nq, nk)
+
+    keep = max(1, int(nk * keep_ratio))
+    thresh = jnp.sort(scores, axis=-1)[..., -keep][..., None]
+    mask = scores >= thresh
+    if causal:
+        cmask = (jnp.arange(nq)[:, None] >= jnp.arange(nk)[None, :])
+        mask = mask & cmask[None, None]
+    if always_keep_first:
+        mask = mask.at[..., 0].set(True)
+    if always_keep_last and causal:
+        diag = jnp.minimum(jnp.arange(nq), nk - 1)
+        mask = mask.at[..., jnp.arange(nq), diag].set(True)
+    count = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    return mask, count
+
+
+def sparse_block_estimate_dispatch(q, k, block_size: int, **kw):
+    """use_pallas()-gated wrapper for sparse_block_estimate."""
+    if use_pallas() and q.shape[-1] % 128 == 0 \
+            and q.shape[2] % block_size == 0 and k.shape[2] % block_size == 0:
+        return sparse_block_estimate_pallas(q, k, block_size, **kw)
+    return sparse_block_estimate(q, k, block_size, **kw)

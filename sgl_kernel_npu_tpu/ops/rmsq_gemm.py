@@ -167,9 +167,11 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
     block_m = min(block_m, m)
     # whole-K blocks when they fit (fewer grid steps; the quantized block is
     # cached in scratch anyway) — else halve to the largest dividing tile
-    # that keeps the double-buffered x block under ~2 MB of VMEM
+    # that keeps the double-buffered x block under ~1 MB of VMEM. (2 MB OOM'd
+    # scoped vmem on the v5e at K=14336/bn=512: x 2x1.83 + w 2x3.67 + xq 1.83
+    # = 17.5 MB > 16 — bench 2026-08-20.)
     block_k = k
-    while block_m * block_k * x.dtype.itemsize > 2 * 1024 * 1024:
+    while block_m * block_k * x.dtype.itemsize > 1024 * 1024:
         assert block_k % 2 == 0, f"K={k} has no even split small enough"
         block_k //= 2
     assert k % block_k == 0 and block_k % 128 == 0, (k, block_k)

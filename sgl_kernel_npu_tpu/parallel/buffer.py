@@ -428,6 +428,26 @@ class Buffer:
         strat = self._low_latency
         maxt = self.num_max_dispatch_tokens_per_rank
 
+        # custom-kernel tier: ONE Pallas launch with comm/compute overlap
+        # (strategies/fused_moe_pallas.py — the aclnnFusedDeepMoe analogue).
+        # Selected with the pallas low-latency strategy; the shard function
+        # owns its own dispatch wire protocol, so chunk_rounds (the XLA
+        # software-pipelining lever) does not apply.
+        if strat.strategy_name == "pallas" and capacity_rows is None:
+            from .strategies.fused_moe_pallas import fused_deep_moe_pallas_shard
+
+            def fnp(x, idx, w, w13q, w13s, w2q, w2s):
+                return fused_deep_moe_pallas_shard(
+                    x, idx, w, w13q, w13s, w2q, w2s,
+                    axis_name=self.axis_name, num_experts=self.num_experts,
+                    num_ranks=self.num_ranks,
+                    num_max_dispatch_tokens_per_rank=maxt)
+
+            return self._smap(
+                fnp, in_specs=tuple([self._ep()] * 7), out_specs=self._ep(),
+                key=("fused_moe_pallas",),
+            )(x, topk_idx, topk_weights, w13_q, w13_scale, w2_q, w2_scale)
+
         def fn(x, idx, w, w13q, w13s, w2q, w2s):
             return _fm.fused_deep_moe_shard(
                 x, idx, w, w13q, w13s, w2q, w2s,

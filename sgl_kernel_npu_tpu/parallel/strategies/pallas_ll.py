@@ -50,6 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils import env as _env
 from ...utils import interpret_mode
 from ..strategy import register_low_latency_strategy
 from .low_latency import (
@@ -67,9 +68,9 @@ def _scatter_kernel(
     send_cnt_ref, src_off_ref, dst_off_ref, wait_cnt_ref,   # scalar prefetch
     x_ref, s_ref,                 # payloads (ANY): [SRC_ROWS, H], [SRC_ROWS, 1]
     out_ref, s_out_ref,           # outputs  (ANY): [DST_ROWS, H], [DST_ROWS, 1]
-    chunk_buf, s_chunk_buf, local_sem, s_local_sem,
+    stage_buf, chunk_buf, s_chunk_buf, local_sem, s_local_sem,
     send_sem, recv_sem, s_send_sem, s_recv_sem,
-    *, num_ranks, slices_per_rank, with_scales,
+    *, num_ranks, slices_per_rank, with_scales, quantize,
 ):
     """Generic chunked ragged remote scatter (see module docstring).
 
@@ -77,6 +78,13 @@ def _scatter_kernel(
     send_cnt[i] rows from x[src_off[i]:] into dst_rank's out[dst_off[i]:] in
     CHUNK-row remote DMAs; receivers wait cdiv(wait_cnt[i], CHUNK) arrivals
     per slice. Scales (optional) ride the same loop on their own semaphores.
+
+    quantize=True: the staged BF16 chunk is per-token-absmax INT8 quantized
+    ON the VPU between the local stage copy and the remote DMA — the
+    reference's in-kernel dynamic quant (QuantInit/QuantProcess,
+    cam_moe_dispatch_normal.h:62-65). The int8 activation and its scales
+    never exist in HBM on the send side; the XLA pre-quant pass (a full
+    extra HBM round-trip over x) is gone.
     """
     spr = slices_per_rank
 
@@ -93,10 +101,23 @@ def _scatter_kernel(
         def per_chunk(c, __):
             src0 = src_off + c * CHUNK
             dst0 = dst_off + c * CHUNK
-            stage = pltpu.make_async_copy(
-                x_ref.at[pl.ds(src0, CHUNK), :], chunk_buf, local_sem)
-            stage.start()
-            stage.wait()
+            if quantize:
+                # stage bf16 rows, quantize on-VPU into the wire buffers
+                stage = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(src0, CHUNK), :], stage_buf, local_sem)
+                stage.start()
+                stage.wait()
+                xb = stage_buf[...].astype(jnp.float32)
+                amax = jnp.max(jnp.abs(xb), axis=-1, keepdims=True)
+                scale = jnp.maximum(amax, 1e-7) / 127.0
+                chunk_buf[...] = jnp.clip(
+                    jnp.round(xb / scale), -128, 127).astype(jnp.int8)
+                s_chunk_buf[...] = scale
+            else:
+                stage = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(src0, CHUNK), :], chunk_buf, local_sem)
+                stage.start()
+                stage.wait()
             rdma = pltpu.make_async_remote_copy(
                 src_ref=chunk_buf,
                 dst_ref=out_ref.at[pl.ds(dst0, CHUNK), :],
@@ -108,10 +129,12 @@ def _scatter_kernel(
             rdma.start()
             rdma.wait_send()
             if with_scales:
-                s_stage = pltpu.make_async_copy(
-                    s_ref.at[pl.ds(src0, CHUNK), :], s_chunk_buf, s_local_sem)
-                s_stage.start()
-                s_stage.wait()
+                if not quantize:
+                    s_stage = pltpu.make_async_copy(
+                        s_ref.at[pl.ds(src0, CHUNK), :], s_chunk_buf,
+                        s_local_sem)
+                    s_stage.start()
+                    s_stage.wait()
                 s_rdma = pltpu.make_async_remote_copy(
                     src_ref=s_chunk_buf,
                     dst_ref=s_out_ref.at[pl.ds(dst0, CHUNK), :],
@@ -157,19 +180,26 @@ def _scatter_kernel(
 
 
 def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
-                    num_ranks, slices_per_rank, out_rows):
+                    num_ranks, slices_per_rank, out_rows, quantize=False):
     """One launch of the generic kernel. scales may be None.
 
-    Returns (out [out_rows, H], s_out [out_rows, 1] | None)."""
+    quantize=True: x is BF16/f32 and the kernel quantizes each staged chunk
+    to INT8 + per-row f32 scales on the wire (scales input must be None).
+    Returns (out [out_rows, H] int8, s_out [out_rows, 1] f32).
+
+    Otherwise returns (out [out_rows, H] of x.dtype, s_out | None)."""
     src_rows, h = x.shape
-    with_scales = scales is not None
-    if not with_scales:
+    with_scales = scales is not None or quantize
+    assert not (quantize and scales is not None)
+    if scales is None:
         # dummy 1-col stream so the kernel signature is static
         scales = jnp.zeros((src_rows, 1), jnp.float32)
+    wire_dtype = jnp.int8 if quantize else x.dtype
 
     out, s_out = pl.pallas_call(
         partial(_scatter_kernel, num_ranks=num_ranks,
-                slices_per_rank=slices_per_rank, with_scales=with_scales),
+                slices_per_rank=slices_per_rank, with_scales=with_scales,
+                quantize=quantize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(1,),
@@ -179,7 +209,8 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
                        pl.BlockSpec(memory_space=pl.ANY)],
             scratch_shapes=[
                 pltpu.VMEM((CHUNK, h), x.dtype),
-                pltpu.VMEM((CHUNK, 1), scales.dtype),
+                pltpu.VMEM((CHUNK, h), wire_dtype),
+                pltpu.VMEM((CHUNK, 1), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
@@ -188,8 +219,8 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((out_rows, h), x.dtype),
-                   jax.ShapeDtypeStruct((out_rows, 1), scales.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((out_rows, h), wire_dtype),
+                   jax.ShapeDtypeStruct((out_rows, 1), jnp.float32)],
         # NB: no collective_id — the kernel synchronizes purely through its
         # own per-launch DMA semaphores (make_async_remote_copy), and Mosaic
         # rejects collective_id without a get_barrier_semaphore() user
@@ -292,10 +323,21 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         tok = jnp.where(
             copy_of_slot < t * k, copy_of_slot // k, copy_of_slot - t * k)
         tok = jnp.where(copy_of_slot < tk, jnp.clip(tok, 0, t - 1), 0)
+        # In-kernel dynamic INT8 quant (default): ship the BF16 payload into
+        # the kernel and let the staging copy quantize on the VPU — no XLA
+        # pre-quant HBM pass (ref QuantProcess inside the dispatch kernel,
+        # cam_moe_dispatch_normal.h:62-65). SKT_PALLAS_INLINE_QUANT=0 keeps
+        # the XLA pre-pass for A/B.
+        quant_inline = False
         if quant_mode == "int8":
-            xq, xs = per_token_quant_int8(x)
-            payload = xq[tok]
-            scales = xs[tok][:, 0]
+            if _env.env_bool("SKT_PALLAS_INLINE_QUANT", True):
+                payload = x[tok]
+                scales = None
+                quant_inline = True
+            else:
+                xq, xs = per_token_quant_int8(x)
+                payload = xq[tok]
+                scales = xs[tok][:, 0]
         else:
             payload = x[tok]
             scales = None
@@ -319,7 +361,8 @@ class PallasLowLatencyCommStrategy(DefaultLowLatencyCommStrategy):
         dst_off = (ee * (r * maxt) + me * maxt).reshape(-1)
         recv_flat, s_flat = _remote_scatter(
             x_send, s_send, counts, aligned_offsets, dst_off, recv_counts,
-            num_ranks=r, slices_per_rank=el, out_rows=el * r * maxt)
+            num_ranks=r, slices_per_rank=el, out_rows=el * r * maxt,
+            quantize=quant_inline)
         recv_x = recv_flat.reshape(el, r * maxt, h)
         recv_scales = s_flat.reshape(el, r * maxt) if s_flat is not None else None
 

@@ -296,3 +296,49 @@ def test_lightning_indexer_varlen_tnd(rng):
             assert got == set(order.tolist()), (bi, j)
         qs += lq
         ks += lk
+
+
+def test_topk_sparse_attention_pallas_vs_ref(rng):
+    """Pallas chunked-gather top-k decode kernel vs the XLA reference
+    (VERDICT r3 item 9; ref rainfusion paged top-k kernel)."""
+    b, h, d, dv, ps, num_pages, kk = 4, 8, 128, 128, 128, 16, 96
+    q = rng.standard_normal((b, h, d), dtype=np.float32)
+    kc = rng.standard_normal((num_pages, ps, d), dtype=np.float32)
+    vc = rng.standard_normal((num_pages, ps, dv), dtype=np.float32)
+    # mixed validity: some rows select all kk, some few, one none
+    idx = rng.integers(0, num_pages * ps, (b, kk)).astype(np.int32)
+    idx[1, 10:] = -1
+    idx[3, 1:] = -1
+    seq = jnp.full((b,), num_pages * ps, jnp.int32)
+
+    ref = sparse.topk_sparse_attention(
+        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(idx), seq,
+        0.11, ps)
+    got = sparse.topk_sparse_attention_pallas(
+        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(idx),
+        0.11, ps, chunk=32, nbuf=2)
+    assert_close(got, np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    # dispatcher picks pallas at 128-dims, ref otherwise — same numbers
+    got2 = sparse.topk_sparse_attention_dispatch(
+        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(idx), seq,
+        0.11, ps)
+    assert_close(got2, np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_sparse_block_estimate_pallas_vs_ref(rng):
+    b, h, t, d, bs = 2, 2, 256, 128, 64
+    q = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, t, d), dtype=np.float32)
+    for kr in (0.25, 1.0):
+        m_ref, c_ref = sparse.sparse_block_estimate(
+            jnp.array(q), jnp.array(k), bs, keep_ratio=kr)
+        m_pl, c_pl = sparse.sparse_block_estimate_pallas(
+            jnp.array(q), jnp.array(k), bs, keep_ratio=kr)
+        np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_ref))
+        np.testing.assert_array_equal(np.asarray(c_pl), np.asarray(c_ref))
+    m_q, _ = sparse.sparse_block_estimate(jnp.array(q), jnp.array(k), bs,
+                                          keep_ratio=0.25)
+    m_d, _ = sparse.sparse_block_estimate_dispatch(
+        jnp.array(q), jnp.array(k), bs, keep_ratio=0.25)
+    np.testing.assert_array_equal(np.asarray(m_d), np.asarray(m_q))
