@@ -285,6 +285,103 @@ def bench_pallas_ll_loopback(rng):
     return report("pallas_ll_loopback_t128_h7168", sec, bytes_moved=moved)
 
 
+def bench_pallas_ll_int8(rng):
+    """Pallas LL tier, INT8 wire with IN-KERNEL per-token quant (the staging
+    copy quantizes on the VPU — no XLA pre-pass; VERDICT r3 item 3)."""
+    from jax.sharding import Mesh
+    from sgl_kernel_npu_tpu.parallel import Buffer
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    t, h, e, k_ = 128, 7168, 16, 8
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.bfloat16)
+    idx = jnp.asarray(
+        np.stack([rng.choice(e, k_, replace=False) for _ in range(t)]), jnp.int32)
+    w = jnp.asarray(rng.random((t, k_)), jnp.float32)
+    buf = Buffer(mesh, e, low_latency_strategy="pallas",
+                 num_max_dispatch_tokens_per_rank=t)
+
+    def once(x):
+        recv_x, scales, packed, lr, handle = buf.low_latency_dispatch(
+            x, idx, quant_mode="int8")
+        deq = (recv_x.astype(jnp.float32) * scales[..., None]).astype(jnp.bfloat16)
+        return buf.low_latency_combine(deq, idx, w, handle)
+
+    sec = timeit(once, x, k=4)
+    moved = t * k_ * h * (1 + 2)   # int8 out + bf16 back
+    return report("pallas_ll_int8_inlineq_t128_h7168", sec, bytes_moved=moved)
+
+
+def bench_fused_moe_pallas(rng):
+    """Single-launch comm/compute-overlapped fused MoE kernel at the bench
+    dims (EP=1 loopback; strategies/fused_moe_pallas.py) — the A/B twin of
+    fused_moe_r1/r4 (VERDICT r3 item 5)."""
+    from jax.sharding import Mesh
+    from sgl_kernel_npu_tpu.parallel import Buffer
+
+    el, h, f, t, k_ = 8, 7168, 2048, 128, 8
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    buf = Buffer(mesh, el, num_max_dispatch_tokens_per_rank=t,
+                 low_latency_strategy="pallas")
+    x = jnp.asarray(rng.standard_normal((t, h)) * 0.3, jnp.bfloat16)
+    idx = jnp.asarray(
+        np.stack([rng.choice(el, k_, replace=False) for _ in range(t)]),
+        jnp.int32)
+    w = jnp.asarray(rng.random((t, k_)), jnp.float32)
+    w13q = jnp.asarray(rng.integers(-127, 128, (el, h, 2 * f)), jnp.int8)
+    w13s = jnp.full((el, 2 * f), 2e-4, jnp.float32)
+    w2q = jnp.asarray(rng.integers(-127, 128, (el, f, h)), jnp.int8)
+    w2s = jnp.full((el, h), 2e-4, jnp.float32)
+
+    def once(x):
+        return buf.fused_deep_moe(x, idx, w, w13q, w13s, w2q, w2s)
+
+    sec = timeit(once, x, k=2)
+    moved = el * (h * 2 * f + f * h)   # weight stream dominates
+    return report("fused_moe_pallas_1kernel_ep1", sec, bytes_moved=moved)
+
+
+def bench_topk_sparse(rng):
+    """Pallas chunked-gather top-k decode attention vs its XLA gather ref."""
+    from sgl_kernel_npu_tpu.ops.attention import sparse
+
+    b, h, d, ps, pages, kk = 64, 16, 128, 128, 512, 2048
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((pages, ps, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((pages, ps, d)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, pages * ps, (b, kk)), jnp.int32)
+    seq = jnp.full((b,), pages * ps, jnp.int32)
+
+    fnp = jax.jit(lambda q: sparse.topk_sparse_attention_pallas(
+        q, kc, vc, idx, 0.09, ps))
+    fnr = jax.jit(lambda q: sparse.topk_sparse_attention(
+        q, kc, vc, idx, seq, 0.09, ps))
+    moved = b * kk * d * 2 * 2   # K+V rows gathered
+    out = []
+    out.append(report("topk_sparse_pallas_b64_k2048",
+                      timeit(fnp, q, k=4), bytes_moved=moved))
+    out.append(report("topk_sparse_xla_b64_k2048",
+                      timeit(fnr, q, k=4), bytes_moved=moved))
+    return out
+
+
+def bench_sparse_estimate(rng):
+    """Fused pool+GEMM sparse_block_estimate vs the XLA reference."""
+    from sgl_kernel_npu_tpu.ops.attention import sparse
+
+    b, h, t, d, bs = 4, 16, 4096, 128, 128
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+    fnp = jax.jit(lambda q, k: sparse.sparse_block_estimate_pallas(q, k, bs))
+    fnr = jax.jit(lambda q, k: sparse.sparse_block_estimate(q, k, bs))
+    moved = 2 * b * h * t * d * 2
+    out = []
+    out.append(report("sparse_estimate_pallas_t4096",
+                      timeit(fnp, q, k, k=4), bytes_moved=moved))
+    out.append(report("sparse_estimate_xla_t4096",
+                      timeit(fnr, q, k, k=4), bytes_moved=moved))
+    return out
+
+
 def bench_gdn_chunk(rng):
     """Chunked gated-delta-rule prefill (Qwen3-Next class)."""
     from sgl_kernel_npu_tpu.ops.gdn.chunk import chunk_gated_delta_rule
@@ -394,6 +491,10 @@ BENCHES = {
     "mla_preprocess": bench_mla_preprocess,
     "ragged_a2a": bench_ragged_a2a,
     "pallas_ll": bench_pallas_ll_loopback,
+    "pallas_ll_int8": bench_pallas_ll_int8,
+    "fused_moe_pallas": bench_fused_moe_pallas,
+    "topk_sparse": bench_topk_sparse,
+    "sparse_estimate": bench_sparse_estimate,
     "gdn_chunk": bench_gdn_chunk,
     "fused_moe_r1": lambda rng: bench_fused_moe(rng, 1),
     "fused_moe_r4": lambda rng: bench_fused_moe(rng, 4),
@@ -416,7 +517,8 @@ def main():
         if not name:
             continue
         try:
-            results.append(BENCHES[name](rng))
+            r = BENCHES[name](rng)
+            results.extend(r) if isinstance(r, list) else results.append(r)
         except Exception as e:  # noqa: BLE001 — per-op diagnostic boundary
             err = {"op": name, "error": f"{type(e).__name__}: {e}"[:300]}
             print(json.dumps(err))

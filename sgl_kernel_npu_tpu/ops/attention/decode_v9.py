@@ -40,7 +40,8 @@ CHUNK_PAGES = int(__import__("os").environ.get("SKT_V9_CP", "4"))
 def _kernel_v9_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
                     k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
                     kbuf, vbuf, ksbuf, vsbuf, acc_ref, m_ref, l_ref, sems,
-                    *, page_size, sm_scale, hkv, g, max_pages, batch, cp):
+                    *, page_size, sm_scale, hkv, g, max_pages, batch, cp,
+                    qk8=False):
     ps = page_size
     hq = hkv * g
     d = q_ref.shape[-1]
@@ -101,8 +102,6 @@ def _kernel_v9_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
         @pl.when(valid_chunk(s))
         def _upd():
             dma_chunk(slot, s, False)
-            q2 = q_ref[pl.ds(b, 1)].astype(jnp.bfloat16).reshape(hq, d)
-            k2 = kbuf[slot].astype(jnp.bfloat16)          # [cp*rows, d]
             v2 = vbuf[slot].astype(jnp.bfloat16)
             ksr = ksbuf[slot].astype(jnp.float32)          # [1, cp*rows]
             vsr = vsbuf[slot].astype(jnp.float32)
@@ -115,8 +114,24 @@ def _kernel_v9_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
             # interpret mode, arbitrary bits on chip): masked lanes zero out
             # via exp(-inf)=0, but 0*NaN=NaN — sanitize vsr explicitly
             vsr = jnp.where(col < clen, vsr, 0.0)
-            sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            if qk8:
+                # W8A8 QK: quantize q per row and dot int8 x int8 -> int32 at
+                # 2x the bf16 MXU rate (the QK dot is ~half the per-chunk
+                # compute at bs128 — 2026-08-20 trace). The per-row q scale
+                # and per-column k scale multiply back in f32.
+                q2f = q_ref[pl.ds(b, 1)].astype(jnp.float32).reshape(hq, d)
+                qa = jnp.max(jnp.abs(q2f), axis=-1, keepdims=True)
+                qsc = jnp.maximum(qa, 1e-9) / 127.0
+                q8 = jnp.clip(jnp.round(q2f / qsc), -127, 127).astype(jnp.int8)
+                sci = jax.lax.dot_general(q8, kbuf[slot],
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.int32)
+                sc = sci.astype(jnp.float32) * qsc
+            else:
+                q2 = q_ref[pl.ds(b, 1)].astype(jnp.bfloat16).reshape(hq, d)
+                k2 = kbuf[slot].astype(jnp.bfloat16)      # [cp*rows, d]
+                sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
             sc = jnp.where(blockmask, sc * ksr * sm_scale, _NEG_INF)
             mh_prev = m_ref[...]
             mh = jnp.maximum(mh_prev, jnp.max(sc, -1, keepdims=True))
@@ -190,7 +205,9 @@ def decode_gqa_pallas_v9_int8_defer(q, k_new, v_new, k_cache, v_cache,
     )
     out = pl.pallas_call(
         partial(_kernel_v9_int8, page_size=page_size, sm_scale=sm_scale,
-                hkv=hkv, g=g, max_pages=max_pages, batch=b, cp=cp),
+                hkv=hkv, g=g, max_pages=max_pages, batch=b, cp=cp,
+                qk8=bool(int(__import__('os').environ.get(
+                    'SKT_V9_QK8', '0')))),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, dv), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -48,9 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import cdiv, interpret_mode
 
 
-def _rmsq_kernel(eid_ref, x_ref, g_ref, b_ref, rs_ref, qs_ref, qo_ref,
+def _rmsq_kernel(eid_ref, x_hbm, g_ref, b_ref, rs_ref, qs_ref, qo_ref,
                  os_ref, w_ref, ds_ref, bias_ref, out_ref,
-                 acc_ref, xq_ref, *, k_tiles, block_k, tiled, fp16_cast):
+                 acc_ref, xq_ref, xraw_ref, xsem, *, k_tiles, block_k, tiled,
+                 fp16_cast):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     kk = pl.program_id(2)
 
@@ -63,10 +65,21 @@ def _rmsq_kernel(eid_ref, x_ref, g_ref, b_ref, rs_ref, qs_ref, qo_ref,
         # normalize + affine + quantize this x block once per (i, kk);
         # n-steps j>0 replay the cached int8 block from VMEM (recomputing per
         # n-step would ~double runtime at the mla shapes — see module doc).
+        # x lives in ANY memory and is staged MANUALLY here: a blocked
+        # (i, kk) input would be re-DMA'd on every (j, kk) grid step when
+        # k_tiles > 1 (the index changes step-to-step), turning the w2-shape
+        # call into ~200 MB of redundant activation traffic (bench regression
+        # 6255 -> 5925 tok/s, 2026-08-20).
+        bm = xraw_ref.shape[0]
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * bm, bm), pl.ds(kk * block_k, block_k)],
+            xraw_ref, xsem)
+        cp.start()
+        cp.wait()
         # NB divide by the scale (not multiply by a reciprocal): that is the
         # reference quantizer's formula (ops/quant.py) and a divide cannot be
         # FMA-contracted into a different rounding by the compiler.
-        xn = (x_ref[...].astype(jnp.float32) * rs_ref[...] * g_ref[...]
+        xn = (xraw_ref[...].astype(jnp.float32) * rs_ref[...] * g_ref[...]
               + b_ref[...])
         qv = xn / qs_ref[...] + qo_ref[...]
         if fp16_cast:
@@ -193,7 +206,7 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, kk, eid: (i, kk)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x: staged at j==0 only
             pl.BlockSpec((1, block_k), lambda i, j, kk, eid: (0, kk)),
             pl.BlockSpec((1, block_k), lambda i, j, kk, eid: (0, kk)),
             pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
@@ -206,8 +219,12 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
         ],
         out_specs=pl.BlockSpec((block_m, bn), lambda i, j, kk, eid: (i, j)),
         scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.int32),
-                        pltpu.VMEM((k_tiles, block_m, block_k), jnp.int8)],
+                        pltpu.VMEM((k_tiles, block_m, block_k), jnp.int8),
+                        pltpu.VMEM((block_m, block_k), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
     )
+    m_pad = cdiv(m, block_m) * block_m
+    x_pad = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
     return pl.pallas_call(
         partial(_rmsq_kernel, k_tiles=k_tiles, block_k=block_k, tiled=tiled,
                 fp16_cast=(quant_cast == "fp16")),
@@ -222,7 +239,7 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(tile_map, x, gamma.astype(jnp.float32).reshape(1, k),
+    )(tile_map, x_pad, gamma.astype(jnp.float32).reshape(1, k),
       beta.astype(jnp.float32).reshape(1, k), rstd, qdiv, qoff, outsc,
       w, descale.astype(jnp.float32), bias)
 
