@@ -287,7 +287,7 @@ def _final_logits(x, params, cfg):
     'fusion' time in the 2026-08-20 bench trace)."""
     lm = params["lm_head"]
     if (use_pallas() and lm["q"].ndim == 4 and x.shape[0] >= 8
-            and env.env_bool("SKT_FUSED_RMSQ", True)):
+            and env.env_bool("SKT_FUSED_LM", True)):
         from ..ops.rmsq_gemm import rmsnorm_quant_gemm
         kdim = x.shape[-1]
         return rmsnorm_quant_gemm(
@@ -302,9 +302,11 @@ def _q_l(x, bank, li):
     """Quant-fused GEMM for NON-normed inputs (wo, w2): the same fused kernel
     with apply_norm=False folds the per-token INT8 quant into the GEMM's VPU
     prologue, so the int8 activation never lands in HBM (trace 2026-08-20:
-    the XLA abs_reduce + quant-convert fusions these calls replace)."""
+    the XLA abs_reduce + quant-convert fusions these calls replace).
+    Own A/B flag (SKT_FUSED_QGEMM): bench 2026-08-20 showed the full-fusion
+    config net-negative vs wqkv/w13-only — gate separately."""
     if (use_pallas() and bank["q"].ndim == 4 and x.shape[0] >= 8
-            and env.env_bool("SKT_FUSED_RMSQ", True)):
+            and env.env_bool("SKT_FUSED_QGEMM", True)):
         from ..ops.rmsq_gemm import rmsnorm_quant_gemm
         kdim = x.shape[-1]
         return rmsnorm_quant_gemm(
