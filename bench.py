@@ -278,6 +278,9 @@ def run_bench_mla(args):
     num_pages = batch * max_pages + 1
 
     params = dm.init_params(cfg, 0)
+    if os.environ.get("SKT_FUSED_RMSQ", "1") != "0":
+        # fused RMSNormQuant->GEMM stages inside mla_preprocess
+        params = dm.fuse_mla_weights(params)
     ckv, krope = dm.init_kv_cache(cfg, num_pages)
     rng = np.random.default_rng(0)
     bt = jnp.array(

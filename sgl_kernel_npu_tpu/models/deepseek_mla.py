@@ -150,6 +150,17 @@ def _rms(x, w, eps):
     return (x32 * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(x.dtype)
 
 
+def fuse_mla_weights(params):
+    """Add [in, out]-transposed copies of wdqkv/wuq so mla_preprocess runs
+    its two RMSNormQuant->GEMM stages as fused rmsq_gemm kernels (one-time
+    load transform, like llama.pretile_big_weights). Returns params."""
+    for name in ("wdqkv", "wuq"):
+        bank = params["layers"][name]
+        if "kn" not in bank:
+            bank["kn"] = jnp.transpose(bank["q"], (0, 2, 1))
+    return params
+
+
 def _qmm(x, w):
     xq, xs = per_token_quant_int8(x)
     return quant_matmul_int8_ref(xq, w["q"], xs, w["scale"], out_dtype=x.dtype)
@@ -186,6 +197,7 @@ def decode_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
             lp["qscale0"], lp["qoffset0"], lp["wdqkv"]["bias"],
             lp["qscale1"], lp["qoffset1"], lp["wuq"]["bias"],
             cache_mode="krope_ctkv",
+            wdqkv_kn=lp["wdqkv"].get("kn"), wuq_kn=lp["wuq"].get("kn"),
         )
         q = jnp.concatenate(
             [out.q_nope.astype(jnp.float32), out.q_pe.astype(jnp.float32)], -1)
@@ -242,6 +254,7 @@ def prefill_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
             lp["qscale0"], lp["qoffset0"], lp["wdqkv"]["bias"],
             lp["qscale1"], lp["qoffset1"], lp["wuq"]["bias"],
             cache_mode="krope_ctkv",
+            wdqkv_kn=lp["wdqkv"].get("kn"), wuq_kn=lp["wuq"].get("kn"),
         )
         # causal latent attention within the chunk (latents straight from the
         # fusion, no cache gather needed for single-sequence prefill)
@@ -326,6 +339,7 @@ def decode_verify_step(params, cfg: MlaConfig, ckv_cache, krope_cache,
             lp["qscale0"], lp["qoffset0"], lp["wdqkv"]["bias"],
             lp["qscale1"], lp["qoffset1"], lp["wuq"]["bias"],
             cache_mode="krope_ctkv",
+            wdqkv_kn=lp["wdqkv"].get("kn"), wuq_kn=lp["wuq"].get("kn"),
         )
         # gather prefix + drafts straight from the updated cache (logical
         # position order — drafts sit at seq_len..seq_len+dt-1)

@@ -97,39 +97,73 @@ def mla_preprocess(
     ctkv_scale=None, q_nope_scale=None,
     cache_mode: str = "krope_ctkv", quant_mode: str = "per_tensor",
     apply_norm0: bool = True,
+    wdqkv_kn=None, wuq_kn=None,
 ):
     """See module docstring. hidden [N, hidden]; wdqkv [2112, hidden] int8;
-    wuq [H*192, 1536] int8; wuk [H, 128, 512]; caches [pages, page_size, D]."""
+    wuq [H*192, 1536] int8; wuk [H, 128, 512]; caches [pages, page_size, D].
+
+    wdqkv_kn / wuq_kn: optional PRE-TRANSPOSED [in, out] copies of the two
+    GEMM weights. When given (and on the Pallas tier), each
+    RMSNormQuant->GEMM stage runs as ONE fused kernel
+    (ops/rmsq_gemm.py — the reference's vector/cube-overlapped core,
+    mla_preprocess_kernel.cpp:140-236) with the reference's fp16-clamp
+    rounding in per_tensor mode. Transpose once at weight-load time
+    (models/deepseek_mla.py::fuse_mla_weights) — transposing per call would
+    materialize the copy every step."""
+    from ..utils import use_pallas
+
     n = hidden.shape[0]
     # dims derived from weights (DeepSeek-V3: kn 512, kp 64, q_nope 128)
     kn = gamma2.shape[0]
     kp = cos.shape[-1]
     qn = wuk.shape[1]
-    h32 = hidden.astype(jnp.float32)
-    if apply_norm0:
-        h32 = _rms(h32, gamma0) + beta0.astype(jnp.float32)
+    fused_tier = wdqkv_kn is not None and wuq_kn is not None and use_pallas()
+    cast = "fp16" if quant_mode == "per_tensor" else "f32"
 
     q_token_scale = None
-    if quant_mode == "per_tensor":
-        hq = _quant_per_tensor(h32, quant_scale0, quant_offset0)
-        fused = _gemm_dequant(hq, wdqkv, descale0, bias0)
-    else:  # per_token dynamic symmetric (no bias, ref quant_mode 1/3)
-        hq, hs = per_token_quant_int8(h32)
-        fused = _gemm_dequant(hq, wdqkv, descale0, None) * hs
+    if fused_tier:
+        from .rmsq_gemm import rmsnorm_quant_gemm
+        # apply_norm0=False means NO norm and NO affine here (the unfused
+        # path quantizes raw hidden); rmsq's apply_norm=False still applies
+        # the affine, so neutralize it
+        g0 = gamma0 if apply_norm0 else jnp.ones_like(gamma0)
+        b0 = beta0 if apply_norm0 else jnp.zeros_like(beta0)
+        fused = rmsnorm_quant_gemm(
+            hidden, g0, b0, wdqkv_kn, descale0,
+            None if quant_mode != "per_tensor" else bias0,
+            quant_scale0, quant_offset0, quant_mode=quant_mode,
+            apply_norm=apply_norm0, quant_cast=cast)
+    else:
+        h32 = hidden.astype(jnp.float32)
+        if apply_norm0:
+            h32 = _rms(h32, gamma0) + beta0.astype(jnp.float32)
+        if quant_mode == "per_tensor":
+            hq = _quant_per_tensor(h32, quant_scale0, quant_offset0)
+            fused = _gemm_dequant(hq, wdqkv, descale0, bias0)
+        else:  # per_token dynamic symmetric (no bias, ref quant_mode 1/3)
+            hq, hs = per_token_quant_int8(h32)
+            fused = _gemm_dequant(hq, wdqkv, descale0, None) * hs
 
     latent, cq = fused[:, : kn + kp], fused[:, kn + kp:]
     ctkv = latent[:, :kn]
     k_pe = latent[:, kn:]
 
-    cq = _rms(cq, gamma1) + beta1.astype(jnp.float32)
     ctkv = _rms(ctkv, gamma2)
 
-    if quant_mode == "per_tensor":
-        cqq = _quant_per_tensor(cq, quant_scale1, quant_offset1)
-        q_out = _gemm_dequant(cqq, wuq, descale1, bias1)
+    if fused_tier:
+        q_out = rmsnorm_quant_gemm(
+            cq, gamma1, beta1, wuq_kn, descale1,
+            None if quant_mode != "per_tensor" else bias1,
+            quant_scale1, quant_offset1, quant_mode=quant_mode,
+            quant_cast=cast)
     else:
-        cqq, cqs = per_token_quant_int8(cq)
-        q_out = _gemm_dequant(cqq, wuq, descale1, None) * cqs
+        cq = _rms(cq, gamma1) + beta1.astype(jnp.float32)
+        if quant_mode == "per_tensor":
+            cqq = _quant_per_tensor(cq, quant_scale1, quant_offset1)
+            q_out = _gemm_dequant(cqq, wuq, descale1, bias1)
+        else:
+            cqq, cqs = per_token_quant_int8(cq)
+            q_out = _gemm_dequant(cqq, wuq, descale1, None) * cqs
 
     heads = q_out.shape[-1] // (qn + kp)
     q_out = q_out.reshape(n, heads, qn + kp)

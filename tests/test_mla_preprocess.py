@@ -130,3 +130,62 @@ def test_mla_preprocess_int8_mode(rng):
     assert out.q_nope.dtype == jnp.int8
     assert out.kv_cache.dtype == jnp.int8
     assert np.asarray(out.kv_cache[0, 1]).any()  # slot written
+
+
+def _mk_mla_args(rng, n=6):
+    """Positional args for mla_preprocess at the scaled-down dims (same
+    construction as test_mla_preprocess_krope_ctkv)."""
+    qdim = QN + QP
+    mm1_out = KN + KP + QRMS
+    hidden = rng.uniform(-2, 2, (n, HID)).astype(np.float32)
+    gamma0 = rng.uniform(0.5, 1.5, HID).astype(np.float32)
+    beta0 = rng.uniform(-.1, .1, HID).astype(np.float32)
+    wdqkv = rng.integers(-10, 10, (mm1_out, HID)).astype(np.int8)
+    bias0 = rng.integers(-10, 10, mm1_out).astype(np.int32)
+    descale0 = (rng.random(mm1_out) / 100).astype(np.float32)
+    gamma1 = rng.uniform(-1, 1, QRMS).astype(np.float32)
+    beta1 = rng.integers(-2, 2, QRMS).astype(np.float32)
+    wuq = rng.integers(-10, 10, (H * qdim, QRMS)).astype(np.int8)
+    bias1 = rng.integers(-10, 10, H * qdim).astype(np.int32)
+    descale1 = (rng.random(H * qdim) / 100).astype(np.float32)
+    gamma2 = rng.uniform(-1, 1, KN).astype(np.float32)
+    cos = rng.uniform(-1, 1, (n, KP)).astype(np.float32)
+    sin = rng.uniform(-1, 1, (n, KP)).astype(np.float32)
+    wuk = rng.uniform(-1, 1, (H, QN, QNOPE)).astype(np.float32)
+    pages, ps = (n // 4) + 2, 8
+    kv_cache = np.zeros((pages, ps, KN), np.float32)
+    krope_cache = np.zeros((pages, ps, KP), np.float32)
+    slots = np.arange(n, dtype=np.int32)
+    args = tuple(jnp.array(a) for a in (
+        hidden, gamma0, beta0, wdqkv, descale0, gamma1, beta1, wuq, descale1,
+        gamma2, cos, sin, wuk, kv_cache, krope_cache, slots,
+        np.array([0.7], np.float32), np.array([3.0], np.float32), bias0,
+        np.array([0.5], np.float32), np.array([-2.0], np.float32), bias1))
+    return args, dict(cache_mode="krope_ctkv")
+
+
+def test_fused_tier_matches_unfused(rng):
+    """mla_preprocess with pre-transposed weights (the rmsq_gemm fused tier)
+    vs the unfused composition: same fp16-clamp quantizer in per_tensor mode,
+    so outputs agree up to rare ulp-boundary LSB flips (see
+    ops/rmsq_gemm.py module doc) — bound by a few flip-effects."""
+    import numpy as np
+
+    from sgl_kernel_npu_tpu.ops import mla_preprocess as mp
+
+    for quant_mode in ("per_tensor", "per_token"):
+        args, kw = _mk_mla_args(rng, n=32)
+        kw = dict(kw, quant_mode=quant_mode)
+        base = mp.mla_preprocess(*args, **kw)
+        wdqkv, wuq = args[3], args[7]
+        fused = mp.mla_preprocess(
+            *args, **kw, wdqkv_kn=jnp.transpose(wdqkv, (1, 0)),
+            wuq_kn=jnp.transpose(wuq, (1, 0)))
+        for name in ("q_nope", "q_pe", "kv_cache", "krope_cache"):
+            a = np.asarray(getattr(base, name), np.float32)
+            b = np.asarray(getattr(fused, name), np.float32)
+            scale = max(1.0, float(np.abs(a).max()))
+            err = np.abs(a - b).max() / scale
+            assert err < 0.05, (quant_mode, name, err)
+            exact = np.mean(np.isclose(a, b, rtol=1e-4, atol=1e-4))
+            assert exact > 0.9, (quant_mode, name, exact)
