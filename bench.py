@@ -120,7 +120,13 @@ def run_bench(args):
         cfg = llama.tiny_config(int8_kv=args.int8_kv)
         batch, ctx, iters = 4, 64, 3
     else:
-        cfg = llama.LlamaConfig(int8_kv=args.int8_kv)  # 8B-class
+        # SKT_PAGE_SIZE: paged-KV granularity A/B (the v9 attention stream
+        # pays ~4 DMA issue+wait pairs per page per sequence; bigger pages
+        # cut that linearly at the cost of allocator granularity — the
+        # reference's mla kernels likewise allow blockSize 256,
+        # csrc/mla_preprocess/README.md:53-56)
+        ps = int(os.environ.get("SKT_PAGE_SIZE", "128"))
+        cfg = llama.LlamaConfig(int8_kv=args.int8_kv, page_size=ps)  # 8B-class
         batch, ctx, iters = args.batch, args.ctx, args.iters
         iters = min(iters, 10)
 

@@ -200,3 +200,31 @@ def test_mla_verify_step_linear_chain(rng):
             jnp.array([n + i + 1], jnp.int32), bt,
             jnp.array([int(slot(n + i))], jnp.int32))
         assert calc_diff(np.asarray(lg_v)[0, i], np.asarray(lg)[0]) < 2e-3, i
+
+
+def test_mla_decode_fused_weights_matches(rng):
+    """fuse_mla_weights (the rmsq_gemm fused tier inside mla_preprocess)
+    changes kernels, not semantics: logits match the unfused model decode up
+    to quant-LSB flip noise."""
+    cfg = deepseek_mla.tiny_config()
+    params = deepseek_mla.init_params(cfg)
+    b, mp_ = 3, 4
+    num_pages = b * mp_ + 1
+    ckv, krope = deepseek_mla.init_kv_cache(cfg, num_pages)
+    bt = jnp.array(rng.permutation(num_pages - 1)[:b * mp_].reshape(b, mp_) + 1,
+                   jnp.int32)
+    seq = jnp.array([1, 20, 45], jnp.int32)
+    pos = seq - 1
+    ps = cfg.page_size
+    slots = bt[jnp.arange(b), pos // ps] * ps + pos % ps
+    ids = jnp.array(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+
+    base, _, _ = deepseek_mla.decode_step(
+        params, cfg, ckv, krope, ids, pos, seq, bt, slots)
+    params = deepseek_mla.fuse_mla_weights(params)
+    fused, _, _ = deepseek_mla.decode_step(
+        params, cfg, ckv, krope, ids, pos, seq, bt, slots)
+    a, f = np.asarray(base), np.asarray(fused)
+    scale = max(1.0, float(np.abs(a).max()))
+    assert np.abs(a - f).max() / scale < 0.05
+    assert np.mean(np.isclose(a, f, rtol=1e-4, atol=1e-4)) > 0.9
