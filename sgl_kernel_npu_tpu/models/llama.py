@@ -286,8 +286,12 @@ def _final_logits(x, params, cfg):
     GEMM — the XLA int8 dot it replaces showed up as the dominant non-kernel
     'fusion' time in the 2026-08-20 bench trace)."""
     lm = params["lm_head"]
+    # default OFF for the greedy-decode loop: the fused kernel runs at
+    # 716 GB/s but must MATERIALIZE 65 MB of f32 logits that XLA's
+    # dot->argmax fusion never writes (bench 2026-08-20: 6262 -> 6176);
+    # serving paths that return logits anyway can flip it on
     if (use_pallas() and lm["q"].ndim == 4 and x.shape[0] >= 8
-            and env.env_bool("SKT_FUSED_LM", True)):
+            and env.env_bool("SKT_FUSED_LM", False)):
         from ..ops.rmsq_gemm import rmsnorm_quant_gemm
         kdim = x.shape[-1]
         return rmsnorm_quant_gemm(
@@ -303,10 +307,11 @@ def _q_l(x, bank, li):
     with apply_norm=False folds the per-token INT8 quant into the GEMM's VPU
     prologue, so the int8 activation never lands in HBM (trace 2026-08-20:
     the XLA abs_reduce + quant-convert fusions these calls replace).
-    Own A/B flag (SKT_FUSED_QGEMM): bench 2026-08-20 showed the full-fusion
-    config net-negative vs wqkv/w13-only — gate separately."""
+    Default OFF: measured net-negative at bs128 on the v5e (6261 -> 6093
+    tok/s even after the x-staging fix) — the XLA pre-quant pass overlaps
+    better than the in-kernel prologue for these non-normed inputs."""
     if (use_pallas() and bank["q"].ndim == 4 and x.shape[0] >= 8
-            and env.env_bool("SKT_FUSED_QGEMM", True)):
+            and env.env_bool("SKT_FUSED_QGEMM", False)):
         from ..ops.rmsq_gemm import rmsnorm_quant_gemm
         kdim = x.shape[-1]
         return rmsnorm_quant_gemm(
