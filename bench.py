@@ -150,7 +150,9 @@ def run_bench(args):
     # falls back to head-major when the tm kernels' Mosaic tiling rules
     # don't hold (e.g. the smoke config's D=32 on real hardware)
     kv = llama.init_kv_cache(
-        cfg, num_pages, layout="tm" if llama.tm_layout_ok(cfg) else "hm")
+        cfg, num_pages,
+        layout=os.environ.get(
+            "SKT_KV_LAYOUT", "tm" if llama.tm_layout_ok(cfg) else "hm"))
 
     rng = np.random.default_rng(0)
     bt = jnp.array(

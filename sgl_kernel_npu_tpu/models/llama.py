@@ -44,6 +44,7 @@ from ..ops.attention.decode_v6 import (
 )
 from ..ops.attention import decode_v8 as _v8
 from ..ops.attention import decode_v9 as _v9
+from ..ops.attention import decode_v11 as _v11
 from ..utils import env, use_pallas
 from ..utils.device import interpret_mode
 from ..ops.quant import per_token_quant_int8
@@ -174,6 +175,20 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16,
         assert cfg.int8_kv, "token-major layout is the INT8 decode path"
         rows = cfg.page_size * cfg.num_kv_heads
         shape = (cfg.num_layers, num_pages, rows, cfg.head_dim)
+        sshape = (cfg.num_layers, num_pages, 1, rows)
+        return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(sshape, jnp.float32),
+                "vs": jnp.zeros(sshape, jnp.float32)}
+    if layout == "tm2":
+        # HEAD-major-within-page 5-D pages [L, P, Hkv, ps, D], row = h*ps+t:
+        # head h's tokens are one contiguous block, so the v11 decode scores
+        # with batched per-head dots and runs the softmax on hq*ps lanes
+        # instead of v9's 7/8-masked [hq, ps*hkv] matrix
+        # (ops/attention/decode_v11.py). int8 only.
+        assert cfg.int8_kv, "tm2 layout is the INT8 decode path"
+        rows = cfg.page_size * cfg.num_kv_heads
+        shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, cfg.page_size,
+                 cfg.head_dim)
         sshape = (cfg.num_layers, num_pages, 1, rows)
         return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
                 "ks": jnp.zeros(sshape, jnp.float32),
@@ -397,11 +412,15 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     # Token-major pages (decode_v8): detected from the cache rank — tm k is
     # [L, P, ps*hkv, D] (4-D) vs head-major [L, P, hkv, ps, D] (5-D). The
     # append becomes a Pallas strided DMA; only scales go through XLA.
+    # tm2 (decode_v11) shares the 5-D k shape with head-major but its scales
+    # are [L, P, 1, hkv*ps] (4-D) — disambiguate on the scales rank.
     is_tm = (isinstance(kv_cache, dict) and kv_cache["k"].ndim == 4)
-    if is_tm:
+    is_tm2 = (isinstance(kv_cache, dict) and kv_cache["k"].ndim == 5
+              and "ks" in kv_cache and kv_cache["ks"].ndim == 4)
+    if is_tm or is_tm2:
         assert defer and cfg.int8_kv, \
             "token-major caches require the deferred int8 pallas decode path"
-    if flat and not is_tm:
+    if flat and not is_tm and not is_tm2:
         # tm caches stay 4-D [L, P, ...]: the v8 kernels select the layer via
         # a scalar (reshaping the 600 MB cache materializes as a relayout
         # copy per array per step — v8 loop trace 2026-08-18)
@@ -511,6 +530,13 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
 
         bt_l = block_table + li * pages_per_layer
         cached = seq_lens - 1     # tokens already in the cache
+        if is_tm2:
+            att = _v11.decode_gqa_pallas_v11_int8_defer(
+                q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
+                kv_cache["vs"], cached, block_table, sm_scale, ps,
+                layer_idx=li)
+            (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
+            return (x2, li2), (k, v)
         if is_tm:
             # v9 (page-chunked, default) vs v8 (per-page stream):
             # SKT_DECODE_ATTN_TM
@@ -550,7 +576,18 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         lcount = cfg.num_layers
         k_new = k_new.reshape(lcount * b, hkv, d)
         v_new = v_new.reshape(lcount * b, hkv, d)
-        if is_tm:
+        if is_tm2:
+            kq, vq, ksn, vsn = _v8.quant_rows_int8(k_new, v_new)
+            pages_b = jnp.where(slot_mapping >= 0, slot_mapping // ps,
+                                pages_per_layer)
+            offs_b = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+            kc, vc = _v11.append_tm2_int8_pallas(
+                kq.reshape(lcount, b, hkv, d), vq.reshape(lcount, b, hkv, d),
+                kv_cache["k"], kv_cache["v"], pages_b, offs_b)
+            ks, vs = _v11.scatter_scales_tm2(
+                kv_cache["ks"], kv_cache["vs"], ksn, vsn, pages_b, offs_b)
+            kv_cache = {"k": kc, "v": vc, "ks": ks, "vs": vs}
+        elif is_tm:
             # k/v data: Pallas strided append (2 DMAs/sequence cover all L
             # layers); scales: XLA scatter on the small arrays only.
             kq, vq, ksn, vsn = _v8.quant_rows_int8(k_new, v_new)
@@ -591,7 +628,7 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
             layer, (x, kv_cache, jnp.int32(0)), small_layers
         )
 
-    if flat and not is_tm:   # restore the external [L, ...] layout (free bitcast)
+    if flat and not is_tm and not is_tm2:   # restore the external [L, ...] layout (free bitcast)
         kv_cache = jax.tree.map(
             lambda a: a.reshape(
                 (cfg.num_layers, a.shape[0] // cfg.num_layers) + a.shape[1:]),

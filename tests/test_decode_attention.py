@@ -362,3 +362,39 @@ def test_decode_v9_chunked_matches_v8(rng):
             q, kn, vn, kc, vc, ks, vs, cached, bt, sm, ps, layer_idx=li,
             chunk_pages=2)
         assert_close(o8, o9, atol=tol)
+
+
+def test_decode_tm2_matches_tm(rng, monkeypatch):
+    """tm2 (head-major 5-D pages, batched per-head dots — decode_v11) decode
+    steps produce the same logits trajectory as tm (token-major v9):
+    layout/kernels change, semantics don't."""
+    from sgl_kernel_npu_tpu.models import llama
+
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+
+    outs = {}
+    for layout in ("tm", "tm2"):
+        cfg = llama.tiny_config(int8_kv=True, page_size=16)
+        params = llama.init_params(cfg, 0)
+        params = llama.pretile_big_weights(params, block_n=128)
+        batch = 4
+        ps = cfg.page_size
+        mp_ = 4
+        num_pages = batch * mp_ + 1
+        kv = llama.init_kv_cache(cfg, num_pages, layout=layout)
+        r2 = np.random.default_rng(0)
+        bt = jnp.array(np.arange(batch * mp_).reshape(batch, mp_) + 1,
+                       jnp.int32)
+        pos = jnp.zeros((batch,), jnp.int32)
+        hist = r2.integers(0, cfg.vocab_size, (20, batch))
+        logits = None
+        for t in range(20):
+            tok = jnp.array(hist[t], jnp.int32)
+            seq = pos + 1
+            slots = bt[jnp.arange(batch), pos // ps] * ps + pos % ps
+            logits, kv = llama.decode_step_kv(params, cfg, kv, tok, pos, seq,
+                                              bt, slots)
+            pos = pos + 1
+        outs[layout] = np.asarray(logits)
+    d = np.abs(outs["tm"] - outs["tm2"]).max()
+    assert d < 2e-2, d
