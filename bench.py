@@ -125,7 +125,7 @@ def run_bench(args):
         # cut that linearly at the cost of allocator granularity — the
         # reference's mla kernels likewise allow blockSize 256,
         # csrc/mla_preprocess/README.md:53-56)
-        ps = int(os.environ.get("SKT_PAGE_SIZE", "128"))
+        ps = int(os.environ.get("SKT_PAGE_SIZE", "512"))
         cfg = llama.LlamaConfig(int8_kv=args.int8_kv, page_size=ps)  # 8B-class
         batch, ctx, iters = args.batch, args.ctx, args.iters
         iters = min(iters, 10)
@@ -149,10 +149,13 @@ def run_bench(args):
     # on the big caches — see ops/attention/decode_v8.py); tm_layout_ok
     # falls back to head-major when the tm kernels' Mosaic tiling rules
     # don't hold (e.g. the smoke config's D=32 on real hardware)
+    # tm2 (head-major 5-D pages + batched per-head dots, decode_v11) at
+    # ps=512 is the measured best decode config on the v5e (A/B ledger in
+    # ROADMAP.md: 6283 tm/ps128 -> 6299 ps256 -> 6372 tm2/ps512)
     kv = llama.init_kv_cache(
         cfg, num_pages,
         layout=os.environ.get(
-            "SKT_KV_LAYOUT", "tm" if llama.tm_layout_ok(cfg) else "hm"))
+            "SKT_KV_LAYOUT", "tm2" if llama.tm_layout_ok(cfg) else "hm"))
 
     rng = np.random.default_rng(0)
     bt = jnp.array(
