@@ -119,7 +119,7 @@ def topk_sparse_attention(q, k_cache, v_cache, topk_indices, seq_lens,
 
 # ---------------------------------------------------------- Pallas kernels
 
-def _topk_kernel(idx_ref, q_ref, k_hbm, v_hbm, out_ref,
+def _topk_kernel(idx_ref, q_ref, validc_ref, k_hbm, v_hbm, out_ref,
                  kbuf, vbuf, acc_ref, m_ref, l_ref, sems,
                  *, page_size, sm_scale, chunk, nc, nbuf, total):
     """Chunked top-k gather attention stream (decode_v9's pipeline shape:
@@ -175,7 +175,10 @@ def _topk_kernel(idx_ref, q_ref, k_hbm, v_hbm, out_ref,
     v2 = vbuf[slot].astype(jnp.float32)                   # [chunk, Dv]
     sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    valid = idx_ref[bb, pl.ds(c * chunk, chunk)][None, :] >= 0
+    # Mosaic allows only SCALAR loads from the scalar-prefetch (SMEM) ref
+    # (chip probe 2026-08-20); the per-chunk validity vector rides a VMEM
+    # input block instead
+    valid = validc_ref[...] >= 0
     sc = jnp.where(valid, sc * sm_scale, _NEG_INF)
 
     m_new = jnp.maximum(m_ref[...], jnp.max(sc, -1, keepdims=True))
@@ -222,6 +225,7 @@ def topk_sparse_attention_pallas(q, k_cache, v_cache, topk_indices, sm_scale,
         grid=(total,),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda s, idx: (s // nc, 0, 0)),
+            pl.BlockSpec((1, chunk), lambda s, idx: (s // nc, s % nc)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -244,7 +248,7 @@ def topk_sparse_attention_pallas(q, k_cache, v_cache, topk_indices, sm_scale,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret_mode(),
-    )(idx, q, k_cache, v_cache)
+    )(idx, q, idx, k_cache, v_cache)
 
 
 def topk_sparse_attention_dispatch(q, k_cache, v_cache, topk_indices,

@@ -95,8 +95,9 @@ def _fused_kernel(
         doff = dst_off_ref[i]
 
         def per_chunk(c, __):
-            src0 = soff + c * CHUNK
-            dst0 = doff + c * CHUNK
+            # alignment-proof form — see strategies/pallas_ll.py per_chunk
+            src0 = (soff // CHUNK) * CHUNK + c * CHUNK
+            dst0 = (doff // CHUNK) * CHUNK + c * CHUNK
             st = pltpu.make_async_copy(
                 x_ref.at[pl.ds(src0, CHUNK), :], stage_buf, local_sem)
             st.start()
@@ -106,7 +107,9 @@ def _fused_kernel(
             scale = jnp.maximum(amax, 1e-7) / 127.0
             qchunk[...] = jnp.clip(jnp.round(xb / scale),
                                    -128, 127).astype(jnp.int8)
-            schunk[...] = scale
+            # 128-lane f32 scale wire (Mosaic rejects 1-lane f32 DMAs —
+            # see strategies/pallas_ll.py)
+            schunk[...] = jnp.broadcast_to(scale, schunk.shape)
             # the receiver waits on ITS per-expert semaphore: address it by
             # the destination expert slot (SPMD-symmetric scratch)
             rd = pltpu.make_async_remote_copy(
@@ -209,7 +212,9 @@ def _fused_kernel(
             def _():
                 w_start(w13_ref, e, 0, 0, 0)
 
-            row0 = e * rows_per_e + mt * bm
+            # alignment-proof wrap on every SMEM/traced-derived ds offset
+            # (Mosaic rejects unprovably-aligned dynamic DMA slices)
+            row0 = ((e * rows_per_e + mt * bm) // CHUNK) * CHUNK
             st = pltpu.make_async_copy(
                 recv_ref.at[pl.ds(row0, bm), :], act_buf, local_sem)
             st.start()
@@ -224,7 +229,7 @@ def _fused_kernel(
                 ug_buf[:, pl.ds(nt * bn, bn)] = deq
 
             gemm(w13_ref, w13s_ref, act_buf, k1_tiles, n1_tiles, e,
-                 store_ug, asc_buf[...])
+                 store_ug, asc_buf[:, 0:1])
 
             # ---- SwiGLU + per-token re-quant -> act2 int8 [bm, F]
             g = ug_buf[:, pl.ds(0, f)]
@@ -255,7 +260,8 @@ def _fused_kernel(
 
                 @pl.when(within < cnt_src)
                 def _send():
-                    boff = back_off_ref[src * el + e] + within
+                    boff = ((back_off_ref[src * el + e] + within)
+                            // CHUNK) * CHUNK
                     bd = pltpu.make_async_remote_copy(
                         src_ref=out_buf.at[pl.ds(c * CHUNK, CHUNK), :],
                         dst_ref=back_ref.at[pl.ds(boff, CHUNK), :],
@@ -369,9 +375,9 @@ def fused_deep_moe_pallas_shard(
             scratch_shapes=[
                 pltpu.VMEM((CHUNK, h), x.dtype),           # stage_buf
                 pltpu.VMEM((CHUNK, h), jnp.int8),          # qchunk
-                pltpu.VMEM((CHUNK, 1), jnp.float32),       # schunk
+                pltpu.VMEM((CHUNK, 128), jnp.float32),     # schunk
                 pltpu.VMEM((bm, h), jnp.int8),             # act_buf
-                pltpu.VMEM((bm, 1), jnp.float32),          # asc_buf
+                pltpu.VMEM((bm, 128), jnp.float32),        # asc_buf
                 pltpu.VMEM((2, bk, bn), jnp.int8),         # wbuf
                 pltpu.VMEM((bm, f2), jnp.float32),         # ug_buf
                 pltpu.VMEM((bm, f), jnp.int8),             # act2_buf
@@ -389,7 +395,7 @@ def fused_deep_moe_pallas_shard(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((el * r * maxt, h), jnp.int8),
-            jax.ShapeDtypeStruct((el * r * maxt, 1), jnp.float32),
+            jax.ShapeDtypeStruct((el * r * maxt, 128), jnp.float32),
             jax.ShapeDtypeStruct((sbuf, h), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

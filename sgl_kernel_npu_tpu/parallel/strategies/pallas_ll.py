@@ -66,8 +66,8 @@ CHUNK = 8  # rows per payload DMA
 
 def _scatter_kernel(
     send_cnt_ref, src_off_ref, dst_off_ref, wait_cnt_ref,   # scalar prefetch
-    x_ref, s_ref,                 # payloads (ANY): [SRC_ROWS, H], [SRC_ROWS, 1]
-    out_ref, s_out_ref,           # outputs  (ANY): [DST_ROWS, H], [DST_ROWS, 1]
+    x_ref, s_ref,               # payloads (ANY): [SRC_ROWS, H], [SRC_ROWS, 128]
+    out_ref, s_out_ref,         # outputs  (ANY): [DST_ROWS, H], [DST_ROWS, 128]
     stage_buf, chunk_buf, s_chunk_buf, local_sem, s_local_sem,
     send_sem, recv_sem, s_send_sem, s_recv_sem,
     *, num_ranks, slices_per_rank, with_scales, quantize,
@@ -99,8 +99,13 @@ def _scatter_kernel(
         dst_off = dst_off_ref[i]
 
         def per_chunk(c, __):
-            src0 = src_off + c * CHUNK
-            dst0 = dst_off + c * CHUNK
+            # (x // CHUNK) * CHUNK: semantically a no-op (the chunk-aligned
+            # layout guarantees it) but REQUIRED for Mosaic to compile —
+            # dynamic DMA offsets from SMEM scalars are rejected unless
+            # their alignment is provable (chip bisect 2026-08-20; this was
+            # the r3 BENCH_OPS MosaicError)
+            src0 = (src_off // CHUNK) * CHUNK + c * CHUNK
+            dst0 = (dst_off // CHUNK) * CHUNK + c * CHUNK
             if quantize:
                 # stage bf16 rows, quantize on-VPU into the wire buffers
                 stage = pltpu.make_async_copy(
@@ -112,7 +117,11 @@ def _scatter_kernel(
                 scale = jnp.maximum(amax, 1e-7) / 127.0
                 chunk_buf[...] = jnp.clip(
                     jnp.round(xb / scale), -128, 127).astype(jnp.int8)
-                s_chunk_buf[...] = scale
+                # scale wire is a FULL 128-lane f32 tile: Mosaic rejects
+                # 1-lane f32 DMA slices outright (chip bisect 2026-08-20 —
+                # the second half of the r3 pallas_ll MosaicError)
+                s_chunk_buf[...] = jnp.broadcast_to(
+                    scale, s_chunk_buf.shape)
             else:
                 stage = pltpu.make_async_copy(
                     x_ref.at[pl.ds(src0, CHUNK), :], chunk_buf, local_sem)
@@ -192,8 +201,10 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
     with_scales = scales is not None or quantize
     assert not (quantize and scales is not None)
     if scales is None:
-        # dummy 1-col stream so the kernel signature is static
+        # dummy stream so the kernel signature is static (128-lane f32 tile
+        # — see the scale-wire note in _scatter_kernel)
         scales = jnp.zeros((src_rows, 1), jnp.float32)
+    scales = jnp.broadcast_to(scales.astype(jnp.float32), (src_rows, 128))
     wire_dtype = jnp.int8 if quantize else x.dtype
 
     out, s_out = pl.pallas_call(
@@ -210,7 +221,7 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
             scratch_shapes=[
                 pltpu.VMEM((CHUNK, h), x.dtype),
                 pltpu.VMEM((CHUNK, h), wire_dtype),
-                pltpu.VMEM((CHUNK, 1), jnp.float32),
+                pltpu.VMEM((CHUNK, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
@@ -220,7 +231,7 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((out_rows, h), wire_dtype),
-                   jax.ShapeDtypeStruct((out_rows, 1), jnp.float32)],
+                   jax.ShapeDtypeStruct((out_rows, 128), jnp.float32)],
         # NB: no collective_id — the kernel synchronizes purely through its
         # own per-launch DMA semaphores (make_async_remote_copy), and Mosaic
         # rejects collective_id without a get_barrier_semaphore() user
@@ -244,7 +255,7 @@ def _remote_scatter(x, scales, send_cnt, src_off, dst_off, wait_cnt, *,
       dst_off.reshape(-1).astype(jnp.int32),
       wait_cnt.reshape(-1).astype(jnp.int32),
       x, scales)
-    return out, (s_out if with_scales else None)
+    return out, (s_out[:, 0:1] if with_scales else None)
 
 
 def _aligned_layout(counts_flat, input_offsets, tk, r, el, maxt):
