@@ -335,32 +335,67 @@ def bench_fused_moe_pallas(rng):
     def once(x):
         return buf.fused_deep_moe(x, idx, w, w13q, w13s, w2q, w2s)
 
-    sec = timeit(once, x, k=2)
+    # the k-loop harness re-uploads the (large) fused-kernel program and
+    # trips the tunnel's request-size limit (HTTP 413, 2026-08-20), and
+    # single-call wall time through the tunnel under-measures (~88 us wall
+    # vs 1211 us device) — take DEVICE time from a profiler trace instead
+    out = once(x)
+    jax.block_until_ready(out)
+    import glob as _glob
+    import gzip as _gzip
+    import tempfile
+    td = tempfile.mkdtemp(prefix="fusedmoe_trace")
+    nrep = 4
+    with jax.profiler.trace(td):
+        for _ in range(nrep):
+            out = once(out.astype(jnp.bfloat16))
+        jax.block_until_ready(out)
+    fn = sorted(_glob.glob(td + "/**/*.trace.json.gz", recursive=True))[-1]
+    tr = json.load(_gzip.open(fn, "rt"))
+    dev = [e for e in tr["traceEvents"]
+           if e.get("ph") == "X" and e.get("name", "").startswith("fnp")]
+    sec = sum(e["dur"] for e in dev) / max(len(dev), 1) / 1e6
     moved = el * (h * 2 * f + f * h)   # weight stream dominates
-    return report("fused_moe_pallas_1kernel_ep1", sec, bytes_moved=moved)
+    return report("fused_moe_pallas_1kernel_ep1", sec, bytes_moved=moved,
+                  extra={"timing": "device (profiler trace)",
+                         "calls": len(dev)})
 
 
 def bench_topk_sparse(rng):
-    """Pallas chunked-gather top-k decode attention vs its XLA gather ref."""
+    """Block-granular Pallas top-k decode attention (rainfusion analogue)
+    vs the XLA token-gather over the same token budget."""
     from sgl_kernel_npu_tpu.ops.attention import sparse
 
-    b, h, d, ps, pages, kk = 64, 16, 128, 128, 512, 2048
+    b, h, d, ps, pages, kb = 64, 16, 128, 128, 512, 256   # 2048 tokens
     q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.bfloat16)
     kc = jnp.asarray(rng.standard_normal((pages, ps, d)), jnp.bfloat16)
     vc = jnp.asarray(rng.standard_normal((pages, ps, d)), jnp.bfloat16)
-    idx = jnp.asarray(rng.integers(0, pages * ps, (b, kk)), jnp.int32)
+    nblocks = pages * ps // 8
+    bids = jnp.asarray(rng.integers(0, nblocks, (b, kb)), jnp.int32)
+    tok = jnp.asarray(
+        (np.asarray(bids)[..., None] * 8
+         + np.arange(8)).reshape(b, kb * 8), jnp.int32)
     seq = jnp.full((b,), pages * ps, jnp.int32)
 
-    fnp = jax.jit(lambda q: sparse.topk_sparse_attention_pallas(
-        q, kc, vc, idx, 0.09, ps))
+    fnp = jax.jit(lambda q: sparse.topk_block_sparse_attention_pallas(
+        q, kc, vc, bids, 0.09, ps))
     fnr = jax.jit(lambda q: sparse.topk_sparse_attention(
-        q, kc, vc, idx, seq, 0.09, ps))
-    moved = b * kk * d * 2 * 2   # K+V rows gathered
+        q, kc, vc, tok, seq, 0.09, ps))
+    moved = b * kb * 8 * d * 2 * 2   # K+V rows gathered
     out = []
-    out.append(report("topk_sparse_pallas_b64_k2048",
-                      timeit(fnp, q, k=4), bytes_moved=moved))
     out.append(report("topk_sparse_xla_b64_k2048",
                       timeit(fnr, q, k=4), bytes_moved=moved))
+    try:
+        out.append(report("topk_blk_sparse_pallas_b64_k2048",
+                          timeit(fnp, q, k=4), bytes_moved=moved))
+    except Exception as e:  # noqa: BLE001
+        # the block kernel is interpret-validated; its on-chip Mosaic
+        # compile is still being bisected (the token-granular dispatcher
+        # runs the XLA row above on hardware either way)
+        err = {"op": "topk_blk_sparse_pallas_b64_k2048",
+               "error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(err))
+        out.append(err)
     return out
 
 

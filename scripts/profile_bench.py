@@ -28,7 +28,8 @@ def capture(args):
     import numpy as np
     from sgl_kernel_npu_tpu.models import llama
 
-    cfg = llama.LlamaConfig(int8_kv=True)
+    cfg = llama.LlamaConfig(
+        int8_kv=True, page_size=int(os.environ.get("SKT_PAGE_SIZE", "512")))
     ps = cfg.page_size
     k_steps = args.k_steps
     max_pages = -(-(args.ctx + 2 * k_steps) // ps)
@@ -38,7 +39,9 @@ def capture(args):
     if os.environ.get("SKT_GEMM_TILED", "1") != "0":
         params = llama.pretile_big_weights(params)
     kv = llama.init_kv_cache(
-        cfg, num_pages, layout="tm" if llama.tm_layout_ok(cfg) else "hm")
+        cfg, num_pages,
+        layout=os.environ.get(
+            "SKT_KV_LAYOUT", "tm2" if llama.tm_layout_ok(cfg) else "hm"))
 
     rng = np.random.default_rng(0)
     bt = jnp.array(
@@ -130,6 +133,47 @@ def parse(outdir, k_steps):
     for name, dur in rows[:40]:
         print(f"{name:48s} {dur / k_steps:10.1f} {100 * dur / total:6.2f}")
     print(f"{'TOTAL (device-lane busy)':48s} {total / k_steps:10.1f}")
+
+    # per-KERNEL breakdown: closed_call events carry the custom-call's
+    # output shape + bytes_accessed in long_name/args — label each pallas
+    # kernel and compute its achieved bandwidth (the trustworthy in-loop
+    # per-op record; standalone sweeps mismeasure, ops/matmul.py notes)
+    kern = defaultdict(lambda: [0.0, 0, 0])
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        n = e.get("name", "")
+        if not n.startswith("closed_call"):
+            continue
+        ln = e.get("args", {}).get("long_name", "")
+        m = re.search(r"= (\S+?)\{", ln)
+        shape = m.group(1) if m else "?"
+        key = (n.split(".")[1] if "." in n else n, shape)
+        kern[key][0] += e.get("dur", 0.0)
+        kern[key][1] += 1
+        kern[key][2] = int(e.get("args", {}).get("bytes_accessed", 0))
+    krows = []
+    print(f"\n{'pallas kernel (out shape)':36s} {'us/step':>9s} "
+          f"{'us/call':>9s} {'GB/s':>7s}")
+    for (idx, shape), (dur, cnt, ba) in sorted(
+            kern.items(), key=lambda kv: -kv[1][0]):
+        per_call = dur / max(cnt, 1)
+        bw = ba / (per_call * 1e-6) / 1e9 if per_call else 0.0
+        print(f"cc.{idx:>4s} {shape:28s} {dur / k_steps:9.1f} "
+              f"{per_call:9.1f} {bw:7.0f}")
+        krows.append({"cc": idx, "out_shape": shape,
+                      "us_per_step": round(dur / k_steps, 1),
+                      "us_per_call": round(per_call, 1),
+                      "gbps": round(bw, 1)})
+    out_json = os.environ.get("SKT_PERF_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({"k_steps": k_steps,
+                       "total_us_per_step": round(total / k_steps, 1),
+                       "op_classes": {n: round(d / k_steps, 1)
+                                      for n, d in rows},
+                       "kernels": krows}, f, indent=1)
+        print(f"perf json -> {out_json}")
 
 
 def main():

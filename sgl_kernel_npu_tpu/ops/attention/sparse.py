@@ -119,34 +119,48 @@ def topk_sparse_attention(q, k_cache, v_cache, topk_indices, seq_lens,
 
 # ---------------------------------------------------------- Pallas kernels
 
-def _topk_kernel(idx_ref, q_ref, validc_ref, k_hbm, v_hbm, out_ref,
-                 kbuf, vbuf, acc_ref, m_ref, l_ref, sems,
-                 *, page_size, sm_scale, chunk, nc, nbuf, total):
-    """Chunked top-k gather attention stream (decode_v9's pipeline shape:
-    while the MXU scores chunk s, the DMA engines gather chunk s+1..s+nbuf-1).
+BLK = 8   # micro-block tokens (the Mosaic DMA sublane-alignment quantum)
 
-    Grid (batch * nc,): step s = (b, c) consumes `chunk` selected KV rows
-    pre-staged in VMEM slot s%nbuf (per-row async copies; invalid ids clamp
-    to row 0 and are masked in the scores), does one [H, chunk] MXU dot,
-    online-softmax accumulates, and emits at the sequence's last chunk."""
+
+def _topk_blk_kernel(idx_ref, q_ref, mask_ref, k_hbm, v_hbm, out_ref,
+                     kbuf, vbuf, acc_ref, m_ref, l_ref, sems,
+                     *, page_size, sm_scale, chunk, nc, nbuf, total):
+    """Chunked BLOCK-sparse gather attention stream.
+
+    The reference's rainfusion is block-table-based top-k sparse attention
+    (plugin/register_ops.cpp:29-34) — selection at block granularity. That
+    is also what the hardware wants: Mosaic rejects 1-row HBM slices at
+    unprovable offsets (chip bisect 2026-08-20), while an 8-token
+    micro-block is one aligned [8, D] DMA with zero over-fetch.
+
+    Grid (batch * nc,): step s = (b, c) stages `chunk` selected micro-blocks
+    (8 tokens each) into VMEM slot s%nbuf, one [H, chunk*8] MXU dot,
+    online-softmax, emit at the sequence's last chunk. Invalid ids clamp to
+    block 0 and are masked via the pre-expanded per-token mask input."""
     ps = page_size
     s = pl.program_id(0)
     bb = s // nc
     c = s - bb * nc
     slot = jax.lax.rem(s, nbuf)
+    rows = chunk * BLK
 
     def dma_chunk(slot2, s2, start):
         b2 = s2 // nc
         c2 = s2 - b2 * nc
 
-        def row(j, _):
-            sl = jnp.maximum(idx_ref[b2, c2 * chunk + j], 0)
-            page = sl // ps
-            off = sl - page * ps
+        def blk(j, _):
+            bid = jnp.maximum(idx_ref[b2, c2 * chunk + j], 0)
+            tok0 = bid * BLK
+            page = tok0 // ps
+            # (x // BLK) * BLK: provable alignment for Mosaic (no-op: block
+            # starts are BLK-aligned by construction)
+            roff = ((tok0 - page * ps) // BLK) * BLK
             kcp = pltpu.make_async_copy(
-                k_hbm.at[page, off], kbuf.at[slot2, j], sems.at[slot2, 0])
+                k_hbm.at[page, pl.ds(roff, BLK), :],
+                kbuf.at[slot2, pl.ds(j * BLK, BLK), :], sems.at[slot2, 0])
             vcp = pltpu.make_async_copy(
-                v_hbm.at[page, off], vbuf.at[slot2, j], sems.at[slot2, 1])
+                v_hbm.at[page, pl.ds(roff, BLK), :],
+                vbuf.at[slot2, pl.ds(j * BLK, BLK), :], sems.at[slot2, 1])
             if start:
                 kcp.start()
                 vcp.start()
@@ -155,7 +169,7 @@ def _topk_kernel(idx_ref, q_ref, validc_ref, k_hbm, v_hbm, out_ref,
                 vcp.wait()
             return _
 
-        jax.lax.fori_loop(0, chunk, row, 0)
+        jax.lax.fori_loop(0, chunk, blk, 0)
 
     @pl.when(s == 0)
     def _prologue():
@@ -171,14 +185,11 @@ def _topk_kernel(idx_ref, q_ref, validc_ref, k_hbm, v_hbm, out_ref,
     dma_chunk(slot, s, False)   # wait for my chunk
 
     q2 = q_ref[0].astype(jnp.float32)                     # [H, D]
-    k2 = kbuf[slot].astype(jnp.float32)                   # [chunk, D]
-    v2 = vbuf[slot].astype(jnp.float32)                   # [chunk, Dv]
+    k2 = kbuf[slot].astype(jnp.float32)                   # [rows, D]
+    v2 = vbuf[slot].astype(jnp.float32)                   # [rows, Dv]
     sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # Mosaic allows only SCALAR loads from the scalar-prefetch (SMEM) ref
-    # (chip probe 2026-08-20); the per-chunk validity vector rides a VMEM
-    # input block instead
-    valid = validc_ref[...] >= 0
+    valid = mask_ref[0, 0:1, :] > 0                       # [1, rows]
     sc = jnp.where(valid, sc * sm_scale, _NEG_INF)
 
     m_new = jnp.maximum(m_ref[...], jnp.max(sc, -1, keepdims=True))
@@ -194,45 +205,54 @@ def _topk_kernel(idx_ref, q_ref, validc_ref, k_hbm, v_hbm, out_ref,
         denom = jnp.maximum(l_ref[...], 1e-20)
         out_ref[0] = (acc_ref[...] / denom).astype(out_ref.dtype)
 
-    # refill this slot only AFTER its rows were consumed above (starting the
-    # next chunk's copies before the dot would race the very buffer it reads)
+    # refill this slot only AFTER its rows were consumed above
     @pl.when(s + nbuf < total)
     def _prefetch():
         dma_chunk(slot, s + nbuf, True)
 
 
-def topk_sparse_attention_pallas(q, k_cache, v_cache, topk_indices, sm_scale,
-                                 page_size: int, chunk: int = 128,
-                                 nbuf: int = 2):
-    """Pallas tier of topk_sparse_attention (ref: rainfusion's paged top-k
-    kernel, csrc/attentions plugin/register_ops.cpp:29-34): the row gather is
-    per-row async DMA pipelined whole chunks ahead, and scoring is one MXU
-    dot per chunk — no [B, K, D] gather ever materializes in HBM."""
+def topk_block_sparse_attention_pallas(q, k_cache, v_cache, block_ids,
+                                       sm_scale, page_size: int,
+                                       chunk: int = 64, nbuf: int = 2):
+    """Pallas block-granular top-k decode attention (rainfusion analogue).
+
+    block_ids [B, KB] int32: selected BLK(=8)-token micro-block ids
+    (token_slot // 8 in the paged cache; -1 = unused). Every token of each
+    selected block is attended. Per-block DMAs are aligned [BLK, D] copies,
+    pipelined whole chunks ahead; scoring is one MXU dot per chunk."""
     from functools import partial as _partial
 
     b, h, d = q.shape
-    kk = topk_indices.shape[1]
+    kb = block_ids.shape[1]
     dv = v_cache.shape[-1]
-    chunk = min(chunk, kk)
-    nc = cdiv(kk, chunk)
-    pad = nc * chunk - kk
-    idx = jnp.pad(topk_indices.astype(jnp.int32), ((0, 0), (0, pad)),
+    ps = page_size
+    assert ps % BLK == 0
+    chunk = min(chunk, kb)
+    nc = cdiv(kb, chunk)
+    pad = nc * chunk - kb
+    idx = jnp.pad(block_ids.astype(jnp.int32), ((0, 0), (0, pad)),
                   constant_values=-1)
     total = b * nc
+    # per-token validity, expanded in XLA and shipped as a (8, rows)-tiled
+    # int8 block (Mosaic: no vectors from SMEM, last-two-dims tiling rules)
+    maskexp = jnp.repeat((idx >= 0).astype(jnp.int8), BLK, axis=1)
+    mask3 = jnp.broadcast_to(maskexp[:, None, :],
+                             (b, BLK, nc * chunk * BLK))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(total,),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda s, idx: (s // nc, 0, 0)),
-            pl.BlockSpec((1, chunk), lambda s, idx: (s // nc, s % nc)),
+            pl.BlockSpec((1, BLK, chunk * BLK),
+                         lambda s, idx: (s // nc, 0, s % nc)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, h, dv), lambda s, idx: (s // nc, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, chunk, d), k_cache.dtype),
-            pltpu.VMEM((nbuf, chunk, dv), v_cache.dtype),
+            pltpu.VMEM((nbuf, chunk * BLK, d), k_cache.dtype),
+            pltpu.VMEM((nbuf, chunk * BLK, dv), v_cache.dtype),
             pltpu.VMEM((h, dv), jnp.float32),
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, 1), jnp.float32),
@@ -240,7 +260,7 @@ def topk_sparse_attention_pallas(q, k_cache, v_cache, topk_indices, sm_scale,
         ],
     )
     return pl.pallas_call(
-        _partial(_topk_kernel, page_size=page_size, sm_scale=sm_scale,
+        _partial(_topk_blk_kernel, page_size=page_size, sm_scale=sm_scale,
                  chunk=chunk, nc=nc, nbuf=nbuf, total=total),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, dv), q.dtype),
@@ -248,17 +268,15 @@ def topk_sparse_attention_pallas(q, k_cache, v_cache, topk_indices, sm_scale,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret_mode(),
-    )(idx, q, idx, k_cache, v_cache)
+    )(idx, q, mask3, k_cache, v_cache)
 
 
 def topk_sparse_attention_dispatch(q, k_cache, v_cache, topk_indices,
                                    seq_lens, sm_scale, page_size: int):
-    """use_pallas()-gated wrapper (same Mosaic gating rules as decode.py:
-    lane dims must be 128-multiples on real chips)."""
-    d, dv = q.shape[-1], v_cache.shape[-1]
-    if use_pallas() and d % 128 == 0 and dv % 128 == 0:
-        return topk_sparse_attention_pallas(
-            q, k_cache, v_cache, topk_indices, sm_scale, page_size)
+    """Token-granular API: the XLA gather reference serves arbitrary token
+    ids (Mosaic cannot DMA 1-row slices at unprovable offsets — chip bisect
+    2026-08-20); block-granular callers (the rainfusion pattern) use
+    topk_block_sparse_attention_pallas for the kernel tier."""
     return topk_sparse_attention(q, k_cache, v_cache, topk_indices, seq_lens,
                                  sm_scale, page_size)
 

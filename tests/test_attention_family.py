@@ -298,30 +298,35 @@ def test_lightning_indexer_varlen_tnd(rng):
         ks += lk
 
 
-def test_topk_sparse_attention_pallas_vs_ref(rng):
-    """Pallas chunked-gather top-k decode kernel vs the XLA reference
-    (VERDICT r3 item 9; ref rainfusion paged top-k kernel)."""
-    b, h, d, dv, ps, num_pages, kk = 4, 8, 128, 128, 128, 16, 96
+def test_topk_block_sparse_pallas_vs_ref(rng):
+    """Block-granular Pallas top-k decode kernel (rainfusion analogue,
+    VERDICT r3 item 9) vs the XLA token-gather reference over the same
+    token set (each selected 8-token micro-block expanded to token ids)."""
+    b, h, d, dv, ps, num_pages, kb = 4, 8, 128, 128, 128, 16, 24
     q = rng.standard_normal((b, h, d), dtype=np.float32)
     kc = rng.standard_normal((num_pages, ps, d), dtype=np.float32)
     vc = rng.standard_normal((num_pages, ps, dv), dtype=np.float32)
-    # mixed validity: some rows select all kk, some few, one none
-    idx = rng.integers(0, num_pages * ps, (b, kk)).astype(np.int32)
-    idx[1, 10:] = -1
-    idx[3, 1:] = -1
+    nblocks = num_pages * ps // 8
+    bids = np.stack([rng.choice(nblocks, kb, replace=False)
+                     for _ in range(b)]).astype(np.int32)
+    bids[1, 10:] = -1
+    bids[3, 1:] = -1
+    # expand to token ids for the XLA reference
+    tok = np.where(bids[..., None] >= 0,
+                   bids[..., None] * 8 + np.arange(8), -1).reshape(b, kb * 8)
     seq = jnp.full((b,), num_pages * ps, jnp.int32)
 
     ref = sparse.topk_sparse_attention(
-        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(idx), seq,
+        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(tok), seq,
         0.11, ps)
-    got = sparse.topk_sparse_attention_pallas(
-        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(idx),
-        0.11, ps, chunk=32, nbuf=2)
+    got = sparse.topk_block_sparse_attention_pallas(
+        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(bids),
+        0.11, ps, chunk=8, nbuf=2)
     assert_close(got, np.asarray(ref), rtol=2e-3, atol=2e-3)
 
-    # dispatcher picks pallas at 128-dims, ref otherwise — same numbers
+    # the token-granular dispatcher stays on the XLA gather path
     got2 = sparse.topk_sparse_attention_dispatch(
-        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(idx), seq,
+        jnp.array(q), jnp.array(kc), jnp.array(vc), jnp.array(tok), seq,
         0.11, ps)
     assert_close(got2, np.asarray(ref), rtol=2e-3, atol=2e-3)
 
