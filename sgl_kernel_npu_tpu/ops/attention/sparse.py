@@ -122,10 +122,10 @@ def topk_sparse_attention(q, k_cache, v_cache, topk_indices, seq_lens,
 BLK = 8   # micro-block tokens (the Mosaic DMA sublane-alignment quantum)
 
 
-def _topk_blk_kernel(idx_ref, q_ref, mask_ref, k_hbm, v_hbm, out_ref,
-                     kbuf, vbuf, acc_ref, m_ref, l_ref, sems,
-                     *, page_size, sm_scale, chunk, nc, nbuf, total):
-    """Chunked BLOCK-sparse gather attention stream.
+def _topk_blk_kernel(idx_ref, q_ref, k_hbm, v_hbm, mask_hbm, out_ref,
+                     kbuf, vbuf, mbuf, acc_ref, m_ref, l_ref, sems, msem,
+                     *, page_size, sm_scale, chunk, nc, nbuf, batch):
+    """Chunked BLOCK-sparse gather attention mega-stream.
 
     The reference's rainfusion is block-table-based top-k sparse attention
     (plugin/register_ops.cpp:29-34) — selection at block granularity. That
@@ -133,20 +133,26 @@ def _topk_blk_kernel(idx_ref, q_ref, mask_ref, k_hbm, v_hbm, out_ref,
     unprovable offsets (chip bisect 2026-08-20), while an 8-token
     micro-block is one aligned [8, D] DMA with zero over-fetch.
 
-    Grid (batch * nc,): step s = (b, c) stages `chunk` selected micro-blocks
-    (8 tokens each) into VMEM slot s%nbuf, one [H, chunk*8] MXU dot,
-    online-softmax, emit at the sequence's last chunk. Invalid ids clamp to
-    block 0 and are masked via the pre-expanded per-token mask input."""
+    v9-style mega-stream: grid (1,), internal fori over batch * nc bodies
+    (every chip-proven manual-DMA kernel in this repo uses this shape);
+    q/out ride full constant blocks, the per-chunk validity mask is staged
+    from HBM alongside the KV blocks. Body (b, c): `chunk` selected
+    micro-blocks (8 tokens each) land in VMEM slot s%nbuf, one
+    [H, chunk*8] MXU dot, online softmax, emit at the last chunk."""
     ps = page_size
-    s = pl.program_id(0)
-    bb = s // nc
-    c = s - bb * nc
-    slot = jax.lax.rem(s, nbuf)
-    rows = chunk * BLK
+    total = batch * nc
+    h = q_ref.shape[1]
+    dv = v_hbm.shape[-1]
 
     def dma_chunk(slot2, s2, start):
         b2 = s2 // nc
         c2 = s2 - b2 * nc
+        mcp = pltpu.make_async_copy(
+            mask_hbm.at[b2, c2], mbuf.at[slot2], msem.at[slot2])
+        if start:
+            mcp.start()
+        else:
+            mcp.wait()
 
         def blk(j, _):
             bid = jnp.maximum(idx_ref[b2, c2 * chunk + j], 0)
@@ -171,44 +177,53 @@ def _topk_blk_kernel(idx_ref, q_ref, mask_ref, k_hbm, v_hbm, out_ref,
 
         jax.lax.fori_loop(0, chunk, blk, 0)
 
-    @pl.when(s == 0)
-    def _prologue():
-        for s0 in range(min(nbuf, total)):
-            dma_chunk(jnp.int32(s0 % nbuf), jnp.int32(s0), True)
+    for s0 in range(min(nbuf, total)):
+        dma_chunk(jnp.int32(s0 % nbuf), jnp.int32(s0), True)
 
-    @pl.when(c == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    def body(s, _):
+        bb = s // nc
+        c = s - bb * nc
+        slot = jax.lax.rem(s, nbuf)
 
-    dma_chunk(slot, s, False)   # wait for my chunk
+        @pl.when(c == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
 
-    q2 = q_ref[0].astype(jnp.float32)                     # [H, D]
-    k2 = kbuf[slot].astype(jnp.float32)                   # [rows, D]
-    v2 = vbuf[slot].astype(jnp.float32)                   # [rows, Dv]
-    sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    valid = mask_ref[0, 0:1, :] > 0                       # [1, rows]
-    sc = jnp.where(valid, sc * sm_scale, _NEG_INF)
+        dma_chunk(slot, s, False)   # wait for my chunk
 
-    m_new = jnp.maximum(m_ref[...], jnp.max(sc, -1, keepdims=True))
-    p = jnp.exp(sc - m_new)
-    alpha = jnp.exp(m_ref[...] - m_new)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, -1, keepdims=True)
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    m_ref[...] = m_new
+        q2 = q_ref[pl.ds(bb, 1)].reshape(h, q_ref.shape[2]).astype(
+            jnp.float32)
+        k2 = kbuf[slot].astype(jnp.float32)                # [rows, D]
+        v2 = vbuf[slot].astype(jnp.float32)
+        sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        valid = mbuf[slot][0:1, :] > 0                     # [1, rows]
+        sc = jnp.where(valid, sc * sm_scale, _NEG_INF)
 
-    @pl.when(c == nc - 1)
-    def _emit():
-        denom = jnp.maximum(l_ref[...], 1e-20)
-        out_ref[0] = (acc_ref[...] / denom).astype(out_ref.dtype)
+        m_new = jnp.maximum(m_ref[...], jnp.max(sc, -1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m_ref[...] - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, -1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = m_new
 
-    # refill this slot only AFTER its rows were consumed above
-    @pl.when(s + nbuf < total)
-    def _prefetch():
-        dma_chunk(slot, s + nbuf, True)
+        @pl.when(c == nc - 1)
+        def _emit():
+            denom = jnp.maximum(l_ref[...], 1e-20)
+            out_ref[pl.ds(bb, 1)] = (acc_ref[...] / denom).astype(
+                out_ref.dtype)[None]
+
+        # refill this slot only AFTER its rows were consumed above
+        @pl.when(s + nbuf < total)
+        def _prefetch():
+            dma_chunk(slot, s + nbuf, True)
+        return _
+
+    jax.lax.fori_loop(0, total, body, 0)
 
 
 def topk_block_sparse_attention_pallas(q, k_cache, v_cache, block_ids,
@@ -232,43 +247,44 @@ def topk_block_sparse_attention_pallas(q, k_cache, v_cache, block_ids,
     pad = nc * chunk - kb
     idx = jnp.pad(block_ids.astype(jnp.int32), ((0, 0), (0, pad)),
                   constant_values=-1)
-    total = b * nc
-    # per-token validity, expanded in XLA and shipped as a (8, rows)-tiled
-    # int8 block (Mosaic: no vectors from SMEM, last-two-dims tiling rules)
+    # per-token validity, expanded in XLA; staged per chunk from HBM as an
+    # (8, rows)-tiled int8 block (no vectors from SMEM)
     maskexp = jnp.repeat((idx >= 0).astype(jnp.int8), BLK, axis=1)
-    mask3 = jnp.broadcast_to(maskexp[:, None, :],
-                             (b, BLK, nc * chunk * BLK))
+    mask4 = jnp.broadcast_to(
+        maskexp.reshape(b, nc, 1, chunk * BLK),
+        (b, nc, 8, chunk * BLK))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(total,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda s, idx: (s // nc, 0, 0)),
-            pl.BlockSpec((1, BLK, chunk * BLK),
-                         lambda s, idx: (s // nc, 0, s % nc)),
+            pl.BlockSpec((b, h, d), lambda i, idx: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, h, dv), lambda s, idx: (s // nc, 0, 0)),
+        out_specs=pl.BlockSpec((b, h, dv), lambda i, idx: (0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nbuf, chunk * BLK, d), k_cache.dtype),
             pltpu.VMEM((nbuf, chunk * BLK, dv), v_cache.dtype),
+            pltpu.VMEM((nbuf, 8, chunk * BLK), jnp.int8),
             pltpu.VMEM((h, dv), jnp.float32),
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((nbuf, 2)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     return pl.pallas_call(
         _partial(_topk_blk_kernel, page_size=page_size, sm_scale=sm_scale,
-                 chunk=chunk, nc=nc, nbuf=nbuf, total=total),
+                 chunk=chunk, nc=nc, nbuf=nbuf, batch=b),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, dv), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret_mode(),
-    )(idx, q, mask3, k_cache, v_cache)
+    )(idx, q, k_cache, v_cache, mask4)
 
 
 def topk_sparse_attention_dispatch(q, k_cache, v_cache, topk_indices,
