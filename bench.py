@@ -466,13 +466,17 @@ def run_bench_qwen(args):
         cfg = qn.QwenNextConfig()
         batch, k_steps, reps, ctx = 4, 4, 2, 64
     else:
+        # this model family stores f32 weights (HF-faithful loader); the
+        # r3 dims (128 experts x 12 layers x 512 inter) were ~13 GB of
+        # expert weights alone and RESOURCE_EXHAUSTED the 16 GB chip
+        # (2026-08-20) — scale to 64 experts x 8 layers (~5 GB params)
         cfg = qn.QwenNextConfig(
-            vocab_size=32768, hidden_size=2048, num_layers=12,
+            vocab_size=32768, hidden_size=2048, num_layers=8,
             full_attention_interval=4,
             num_qk_heads=8, num_v_heads=8, head_qk_dim=128, head_v_dim=128,
             conv_width=4, chunk_size=64,
             num_heads=16, num_kv_heads=2, head_dim=128,
-            page_size=128, num_experts=128, top_k=10,
+            page_size=128, num_experts=64, top_k=10,
             moe_intermediate_size=512, shared_intermediate_size=512,
             max_position=8192, num_loras=0, lora_rank=8)
         batch, k_steps, reps, ctx = args.batch, 8, 3, args.ctx
