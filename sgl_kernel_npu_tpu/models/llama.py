@@ -186,10 +186,12 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.bfloat16,
         # instead of v9's 7/8-masked [hq, ps*hkv] matrix
         # (ops/attention/decode_v11.py). int8 only.
         assert cfg.int8_kv, "tm2 layout is the INT8 decode path"
-        rows = cfg.page_size * cfg.num_kv_heads
         shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, cfg.page_size,
                  cfg.head_dim)
-        sshape = (cfg.num_layers, num_pages, 1, rows)
+        # scales [L, P, hkv, ps]: same bytes per page as the flat [1, hkv*ps]
+        # wire, but the per-step scale scatter becomes a pure broadcast-select
+        # XLA can fuse into ONE sweep (scatter_scales_tm2 docstring)
+        sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads, cfg.page_size)
         return {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
                 "ks": jnp.zeros(sshape, jnp.float32),
                 "vs": jnp.zeros(sshape, jnp.float32)}

@@ -8,7 +8,7 @@ are qh != kh waste that exists only because token-major rows interleave the
 kv heads (row = t*hkv + h).
 
 v11 stores pages HEAD-major: cache [L, P, hkv, ps, D] int8 (row = h*ps + t)
-with scales [L, P, 1, hkv*ps]. A whole page is still ONE DMA (same bytes,
+with scales [L, P, hkv, ps]. A whole page is still ONE DMA (same bytes,
 same contiguity), but now head h's tokens are a contiguous [ps, D] block, so
 scoring becomes a BATCHED dot over free views:
 
@@ -95,7 +95,7 @@ def _kernel_v11_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
         @pl.when(valid_chunk(s))
         def _upd():
             dma_page(slot, s, False)
-            # free views: pages are [hkv, ps, D]; scales [1, hkv*ps]
+            # free views: pages are [hkv, ps, D]; scales [hkv, ps]
             q3 = q_ref[pl.ds(b, 1)].astype(jnp.bfloat16).reshape(hkv, g, d)
             k3 = kbuf[slot].astype(jnp.bfloat16)           # [hkv, ps, d]
             v3 = vbuf[slot].astype(jnp.bfloat16)           # [hkv, ps, dv]
@@ -147,7 +147,7 @@ def decode_gqa_pallas_v11_int8_defer(q, k_new, v_new, k_cache, v_cache,
                                      layer_idx=0):
     """Head-major-page INT8 deferred-write decode (module docstring).
 
-    caches 5-D [L, P, hkv, ps, D] int8 + [L, P, 1, hkv*ps] f32 scales
+    caches 5-D [L, P, hkv, ps, D] int8 + [L, P, hkv, ps] f32 scales
     (row = h*ps + t); same call contract as decode_v9 otherwise."""
     b, hq, dk = q.shape
     _, _, hkv, ps, _ = k_cache.shape
@@ -172,8 +172,8 @@ def decode_gqa_pallas_v11_int8_defer(q, k_new, v_new, k_cache, v_cache,
         scratch_shapes=[
             pltpu.VMEM((NBUF, hkv, ps, dk), k_cache.dtype),
             pltpu.VMEM((NBUF, hkv, ps, dv), v_cache.dtype),
-            pltpu.VMEM((NBUF, 1, hkv * ps), k_scales.dtype),
-            pltpu.VMEM((NBUF, 1, hkv * ps), v_scales.dtype),
+            pltpu.VMEM((NBUF, hkv, ps), k_scales.dtype),
+            pltpu.VMEM((NBUF, hkv, ps), v_scales.dtype),
             pltpu.VMEM((hq, dv), jnp.float32),
             pltpu.VMEM((hq, 1), jnp.float32),
             pltpu.VMEM((hq, 1), jnp.float32),
@@ -309,13 +309,19 @@ def append_tm2_int8_pallas(kq, vq, k_cache, v_cache, pages, offs):
 
 
 def scatter_scales_tm2(k_scales, v_scales, ks, vs, pages, offs):
-    """Scale update for head-major rows (r = h*ps + t): dense masked select,
-    same rationale as decode_v8.scatter_scales_tm.
+    """Scale update for head-major pages: dense masked select on the
+    [L, P, hkv, ps] layout.
 
-    k_scales/v_scales [L, P, 1, hkv*ps] f32; ks/vs [L*B, hkv]."""
-    l, num_pages, _, rows = k_scales.shape
-    hkv = ks.shape[-1]
-    ps = rows // hkv
+    Both where() operands are pure broadcasts of tiny arrays (own scale
+    [L, P, hkv] and the [P, ps] token mask), so XLA fuses the whole update
+    into ONE read+write sweep of each scale array. The previous flat
+    [L, P, 1, hkv*ps] layout needed a reshape-of-broadcast for the update
+    value, which MATERIALIZED a full [L, P, rows] f32 intermediate per
+    array — measured 1.35 ms/step of reshape+broadcast time in the
+    2026-08-20 bench trace vs the ~0.33 ms two-array sweep floor.
+
+    k_scales/v_scales [L, P, hkv, ps] f32; ks/vs [L*B, hkv]."""
+    l, num_pages, hkv, ps = k_scales.shape
     b = pages.shape[0]
     ks = ks.astype(jnp.float32).reshape(l, b, hkv)
     vs = vs.astype(jnp.float32).reshape(l, b, hkv)
@@ -323,14 +329,11 @@ def scatter_scales_tm2(k_scales, v_scales, ks, vs, pages, offs):
     owner = jnp.full((num_pages,), -1, jnp.int32).at[pages].set(
         jnp.arange(b, dtype=jnp.int32), mode="drop")          # [P]
     own_off = jnp.where(owner >= 0, offs[jnp.maximum(owner, 0)], -1)
-    tok = jnp.arange(rows, dtype=jnp.int32) % ps              # token of row r
-    mask = tok[None, :] == own_off[:, None]                   # [P, rows]
+    tok = jnp.arange(ps, dtype=jnp.int32)
+    mask = tok[None, :] == own_off[:, None]                   # [P, ps]
 
     def upd(cache, new):
         own = new[:, jnp.maximum(owner, 0), :]                # [L, P, hkv]
-        tiled = jnp.broadcast_to(
-            own[:, :, :, None], (l, num_pages, hkv, ps)
-        ).reshape(l, num_pages, 1, rows)
-        return jnp.where(mask[None, :, None, :], tiled, cache)
+        return jnp.where(mask[None, :, None, :], own[:, :, :, None], cache)
 
     return upd(k_scales, ks), upd(v_scales, vs)
