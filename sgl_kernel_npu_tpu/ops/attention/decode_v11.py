@@ -203,6 +203,10 @@ def decode_gqa_pallas_v11_int8_defer(q, k_new, v_new, k_cache, v_cache,
 
 
 ALIGN = 8   # Mosaic ps-dim slice alignment (decode_v8 chip probe 2026-08-18)
+# append ring depth: slot b%R frees only when writes(b-R) land, so R=2 stalls
+# read(b) behind write(b-2) (in-loop trace 2026-08-20: 349 us/step vs the
+# ~165 us traffic floor at bs128); deeper rings hide more of the write tail
+RING = int(__import__("os").environ.get("SKT_V11_APPEND_RING", "4"))
 
 
 def append_tm2_int8_pallas(kq, vq, k_cache, v_cache, pages, offs):
@@ -249,13 +253,16 @@ def append_tm2_int8_pallas(kq, vq, k_cache, v_cache, pages, offs):
             vwin[slot] = jnp.where(sel, newbuf[slot, 1][:, :, None, :],
                                    vwin[slot])
 
-        # 2-slot ring: reads(b) overlap merge+writes(b-1)
-        def body(b, _):
-            slot = jax.lax.rem(b, 2)
+        # RING-slot ring: reads(b) overlap merge+writes of up to RING-1
+        # earlier sequences; slot b%RING frees when writes(b-RING) land
+        ring = min(RING, max(2, batch))
 
-            @pl.when((b >= 2) & active(b - 2))
+        def body(b, _):
+            slot = jax.lax.rem(b, ring)
+
+            @pl.when((b >= ring) & active(b - ring))
             def _free_slot():
-                for cp in copies(b - 2, slot, True):
+                for cp in copies(b - ring, slot, True):
                     cp.wait()
 
             @pl.when((b < batch) & active(b))
@@ -265,7 +272,7 @@ def append_tm2_int8_pallas(kq, vq, k_cache, v_cache, pages, offs):
 
             @pl.when((b >= 1) & active(b - 1))
             def _process_prev():
-                prev_slot = jax.lax.rem(b - 1, 2)
+                prev_slot = jax.lax.rem(b - 1, ring)
                 for cp in copies(b - 1, prev_slot, False):
                     cp.wait()
                 merge(b - 1, prev_slot)
@@ -275,12 +282,16 @@ def append_tm2_int8_pallas(kq, vq, k_cache, v_cache, pages, offs):
 
         jax.lax.fori_loop(0, batch + 1, body, 0)
 
-        # the loop's _free_slot waited writes up to batch-2; only the last
-        # sequence's writes (started at b == batch) remain outstanding
-        @pl.when((batch >= 1) & active(batch - 1))
-        def _w1():
-            for cp in copies(batch - 1, jax.lax.rem(batch - 1, 2), True):
-                cp.wait()
+        # the loop's _free_slot waited writes up to batch-ring; the last
+        # ring-1 sequences' writes remain outstanding
+        def tail(b, _):
+            @pl.when((b >= 0) & active(b))
+            def _wt():
+                for cp in copies(b, jax.lax.rem(b, ring), True):
+                    cp.wait()
+            return 0
+
+        jax.lax.fori_loop(max(batch - ring + 1, 0), batch, tail, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -288,10 +299,12 @@ def append_tm2_int8_pallas(kq, vq, k_cache, v_cache, pages, offs):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((2, l, hkv, ALIGN, d), k_cache.dtype),
-            pltpu.VMEM((2, l, hkv, ALIGN, d), v_cache.dtype),
-            pltpu.VMEM((2, 2, l, hkv, d), kq.dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((min(RING, max(2, batch)), l, hkv, ALIGN, d),
+                       k_cache.dtype),
+            pltpu.VMEM((min(RING, max(2, batch)), l, hkv, ALIGN, d),
+                       v_cache.dtype),
+            pltpu.VMEM((min(RING, max(2, batch)), 2, l, hkv, d), kq.dtype),
+            pltpu.SemaphoreType.DMA((min(RING, max(2, batch)), 4)),
         ],
     )
     return pl.pallas_call(
