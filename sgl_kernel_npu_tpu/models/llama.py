@@ -415,7 +415,8 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
     # [L, P, ps*hkv, D] (4-D) vs head-major [L, P, hkv, ps, D] (5-D). The
     # append becomes a Pallas strided DMA; only scales go through XLA.
     # tm2 (decode_v11) shares the 5-D k shape with head-major but its scales
-    # are [L, P, 1, hkv*ps] (4-D) — disambiguate on the scales rank.
+    # are [L, P, hkv, ps] (4-D) vs hm's [L, P, hkv, 1, ps] (5-D) —
+    # disambiguate on the scales rank.
     is_tm = (isinstance(kv_cache, dict) and kv_cache["k"].ndim == 4)
     is_tm2 = (isinstance(kv_cache, dict) and kv_cache["k"].ndim == 5
               and "ks" in kv_cache and kv_cache["ks"].ndim == 4)
