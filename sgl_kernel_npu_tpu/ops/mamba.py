@@ -5,8 +5,10 @@ Reference parity:
   csrc/causal_conv1d/ + python mamba/causal_conv1d.py
     causal_conv1d_fn_native (:651-696)  -> causal_conv1d_fn
     causal_conv1d_update_npu (:1266-1428) -> causal_conv1d_update
-      (circular cache_seqlens mode not implemented — the reference's own
-       validate path asserts it unused for vLLM/SGLang)
+      (cache_seqlens accepted; the reference documents a circular mode for it
+       but its kernel never loads cache_seqlens_ptr (:981 is the only
+       occurrence) and validate asserts it None — executed semantics are the
+       plain sliding-window update, which this op matches exactly)
   csrc/causal_conv1d_update/ (+ rollback support)
   python mamba/mamba_state_update_triton.py
     conv_state_rollback (:150-287) -> conv_state_rollback
@@ -122,7 +124,7 @@ def causal_conv1d_varlen(x_flat, query_start_loc, weight, bias=None,
 def causal_conv1d_update(x, conv_state, weight, bias=None, activation=None,
                          conv_state_indices=None, num_accepted_tokens=None,
                          intermediate_conv_window=None,
-                         pad_slot_id: int = PAD_SLOT_ID):
+                         pad_slot_id: int = PAD_SLOT_ID, cache_seqlens=None):
     """Decode-time conv update.
 
     x [B, dim] or [B, dim, S]; conv_state [cache_lines, dim, state_len];
@@ -130,6 +132,14 @@ def causal_conv1d_update(x, conv_state, weight, bias=None, activation=None,
     Returns (out like x, new_conv_state[, new_intermediate]) — intermediate
     windows [B, S, dim, state_len] are recorded per decoded step when a buffer
     is passed (speculative decoding; rollback is conv_state_rollback).
+
+    cache_seqlens: accepted for reference API parity. The reference DOCUMENTS
+    a circular-buffer mode for it (causal_conv1d.py:1287-1291) but its kernel
+    never reads the pointer — `cache_seqlens_ptr` appears in
+    _causal_conv1d_update_kernel's signature (:981) and nowhere else, and
+    validate_data asserts it None (:1305,:1336) — so the reference's executed
+    semantics with cache_seqlens set are the ordinary sliding-window update.
+    This op matches that actual behavior (tests/test_mamba.py documents it).
     """
     squeeze = x.ndim == 2
     if squeeze:

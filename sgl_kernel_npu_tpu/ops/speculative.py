@@ -101,7 +101,33 @@ def build_tree_efficient(parent_list, selected_index, verified_seq_len,
             jnp.where(ok, i, next_token[rows, p_safe]))
 
     tree_mask = anc & valid_node[:, :, None] & valid_node[:, None, :]
+    if tree_mask_mode == TreeMaskMode.QLEN_ONLY_BITPACKING:
+        # bit-packed rows (ref speculative.py:13-15 TreeMaskMode): LSB-first
+        # int32 words, the same packing convention as the grammar bitmask op
+        # (ops/grammar.py) so consumers share one unpack path
+        tree_mask = pack_tree_mask(tree_mask)
     return positions, retrive_index, next_token, next_sibling, tree_mask
+
+
+def pack_tree_mask(tree_mask):
+    """[..., dt] bool -> [..., ceil(dt/32)] int32, bit j of word w =
+    mask[..., w*32+j] (LSB-first, xgrammar/apply_token_bitmask convention)."""
+    dt = tree_mask.shape[-1]
+    words = -(-dt // 32)
+    pad = words * 32 - dt
+    m = jnp.pad(tree_mask.astype(jnp.uint32), [(0, 0)] * (tree_mask.ndim - 1)
+                + [(0, pad)])
+    m = m.reshape(tree_mask.shape[:-1] + (words, 32))
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint32).astype(jnp.int32)
+
+
+def unpack_tree_mask(packed, dt: int):
+    """Inverse of pack_tree_mask: [..., words] int32 -> [..., dt] bool."""
+    words = packed.shape[-1]
+    bits = (packed.astype(jnp.uint32)[..., :, None]
+            >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return bits.reshape(packed.shape[:-1] + (words * 32,))[..., :dt].astype(bool)
 
 
 def verify_tree_greedy(candidates, retrive_index, retrive_next_token,

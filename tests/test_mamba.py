@@ -141,3 +141,25 @@ def test_apply_token_bitmask(rng):
         for c in range(v):
             want = logits[r, c] if ((int(bm_full[r, c // 32]) >> (c % 32)) & 1) else -np.inf
             assert np.asarray(out2)[r, c] == want
+
+
+def test_causal_conv1d_update_cache_seqlens_parity(rng):
+    """cache_seqlens API parity: the reference DOCUMENTS a circular-buffer
+    mode (causal_conv1d.py:1287-1291) but its Triton kernel never reads the
+    pointer (`cache_seqlens_ptr` appears only in the kernel signature, :981)
+    and validate_data asserts it None (:1305,:1336) — the executed semantics
+    with cache_seqlens set are the ordinary sliding-window update. This test
+    pins our op to that actual reference behavior: passing cache_seqlens must
+    be accepted and must not change the result."""
+    b, dim, w, state_len = 3, 16, 4, 6
+    x = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32)
+    state = jnp.asarray(rng.standard_normal((b, dim, state_len)), jnp.float32)
+    weight = jnp.asarray(rng.standard_normal((dim, w)), jnp.float32)
+    cache_seqlens = jnp.asarray(rng.integers(0, 100, b), jnp.int32)
+
+    out_plain, st_plain = mamba.causal_conv1d_update(
+        x, state, weight, activation="silu")
+    out_cs, st_cs = mamba.causal_conv1d_update(
+        x, state, weight, activation="silu", cache_seqlens=cache_seqlens)
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_cs))
+    np.testing.assert_array_equal(np.asarray(st_plain), np.asarray(st_cs))

@@ -132,3 +132,32 @@ def test_verify_tree_greedy(rng):
     np.testing.assert_array_equal(np.asarray(an), gan)
     np.testing.assert_array_equal(np.asarray(ai), gai)
     np.testing.assert_array_equal(np.asarray(p), gp)
+
+
+def test_build_tree_bitpacked_mask(rng):
+    """QLEN_ONLY_BITPACKING (ref speculative.py:13-15): same tree, mask rows
+    bit-packed LSB-first into int32 words; unpack must equal QLEN_ONLY."""
+    bs, topk, dt = 3, 4, 6
+    parent_list = jnp.asarray(rng.integers(0, topk * 2, (bs, dt * 2)), jnp.int32)
+    selected_index = jnp.asarray(
+        np.stack([rng.permutation(topk * 2)[:dt - 1] for _ in range(bs)]),
+        jnp.int32)
+    seq_len = jnp.asarray(rng.integers(4, 30, bs), jnp.int32)
+
+    pos_b, ri_b, nt_b, ns_b, packed = spec.build_tree_efficient(
+        parent_list, selected_index, seq_len, topk, dt,
+        tree_mask_mode=spec.TreeMaskMode.QLEN_ONLY_BITPACKING)
+    pos, ri, nt, ns, mask = spec.build_tree_efficient(
+        parent_list, selected_index, seq_len, topk, dt,
+        tree_mask_mode=spec.TreeMaskMode.QLEN_ONLY)
+
+    assert packed.dtype == jnp.int32 and packed.shape == (bs, dt, 1)
+    np.testing.assert_array_equal(np.asarray(pos_b), np.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(nt_b), np.asarray(nt))
+    np.testing.assert_array_equal(np.asarray(ns_b), np.asarray(ns))
+    np.testing.assert_array_equal(
+        np.asarray(spec.unpack_tree_mask(packed, dt)), np.asarray(mask))
+    # >32-node packing spills into multiple words
+    wide = jnp.asarray(rng.integers(0, 2, (2, 40, 40)), bool)
+    rt = spec.unpack_tree_mask(spec.pack_tree_mask(wide), 40)
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(wide))
