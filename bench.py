@@ -289,10 +289,15 @@ def run_bench_mla(args):
     num_pages = batch * max_pages + 1
 
     params = dm.init_params(cfg, 0)
-    if os.environ.get("SKT_FUSED_RMSQ", "1") != "0":
+    fast = os.environ.get("SKT_MLA_FAST", "1") != "0"
+    if fast:
+        # the r5 fast path: pre-tiled closure-invariant banks + combined
+        # latent cache + page-chunked mega-stream attention + deferred append
+        # (models/deepseek_mla.py::decode_step_c)
+        params = dm.pretile_mla_weights(params, cfg)
+    elif os.environ.get("SKT_FUSED_RMSQ", "1") != "0":
         # fused RMSNormQuant->GEMM stages inside mla_preprocess
         params = dm.fuse_mla_weights(params)
-    ckv, krope = dm.init_kv_cache(cfg, num_pages)
     rng = np.random.default_rng(0)
     bt = jnp.array(
         rng.permutation(num_pages - 1)[: batch * max_pages]
@@ -300,21 +305,43 @@ def run_bench_mla(args):
     pos0 = jnp.full((batch,), ctx - 1, jnp.int32)
     ids0 = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
 
-    def run_steps(params, ckv, krope, ids, pos):
-        def body(_, carry):
-            ckv, krope, ids, pos = carry
-            seq = pos + 1
-            slots = (bt[jnp.arange(batch), pos // ps] * ps + pos % ps)
-            logits, ckv, krope = dm.decode_step(
-                params, cfg, ckv, krope, ids, pos, seq, bt, slots)
-            return ckv, krope, jnp.argmax(logits, -1).astype(jnp.int32), pos + 1
-        return jax.lax.fori_loop(0, k_steps, body, (ckv, krope, ids, pos))
+    if fast:
+        kvc = dm.init_kv_cache_combined(cfg, num_pages)
 
-    stepk = jax.jit(run_steps, donate_argnums=(1, 2))
-    dt, _ = _median_step(
-        lambda st: stepk(params, *st), k_steps, reps,
-        (ckv, krope, ids0, pos0),
-        lambda st: int(np.asarray(st[2][0])))
+        def run_steps_fast(params, kvc, ids, pos):
+            def body(_, carry):
+                kvc, ids, pos = carry
+                seq = pos + 1
+                slots = (bt[jnp.arange(batch), pos // ps] * ps + pos % ps)
+                logits, kvc = dm.decode_step_c(
+                    params, cfg, kvc, ids, pos, seq, bt, slots)
+                return kvc, jnp.argmax(logits, -1).astype(jnp.int32), pos + 1
+            return jax.lax.fori_loop(0, k_steps, body, (kvc, ids, pos))
+
+        stepk = jax.jit(run_steps_fast, donate_argnums=(1,))
+        dt, _ = _median_step(
+            lambda st: stepk(params, *st), k_steps, reps,
+            (kvc, ids0, pos0),
+            lambda st: int(np.asarray(st[1][0])))
+    else:
+        ckv, krope = dm.init_kv_cache(cfg, num_pages)
+
+        def run_steps(params, ckv, krope, ids, pos):
+            def body(_, carry):
+                ckv, krope, ids, pos = carry
+                seq = pos + 1
+                slots = (bt[jnp.arange(batch), pos // ps] * ps + pos % ps)
+                logits, ckv, krope = dm.decode_step(
+                    params, cfg, ckv, krope, ids, pos, seq, bt, slots)
+                return (ckv, krope, jnp.argmax(logits, -1).astype(jnp.int32),
+                        pos + 1)
+            return jax.lax.fori_loop(0, k_steps, body, (ckv, krope, ids, pos))
+
+        stepk = jax.jit(run_steps, donate_argnums=(1, 2))
+        dt, _ = _median_step(
+            lambda st: stepk(params, *st), k_steps, reps,
+            (ckv, krope, ids0, pos0),
+            lambda st: int(np.asarray(st[2][0])))
 
     l, h = cfg.num_layers, cfg.hidden_size
     heads, qdim = cfg.num_heads, cfg.qk_nope_dim + cfg.qk_rope_dim
@@ -462,14 +489,26 @@ def run_bench_qwen(args):
     from sgl_kernel_npu_tpu.utils import get_device_properties
 
     props = get_device_properties()
+    quant = os.environ.get("SKT_QWEN_QUANT", "1") != "0"
     if args.smoke:
         cfg = qn.QwenNextConfig()
         batch, k_steps, reps, ctx = 4, 4, 2, 64
+    elif quant:
+        # W8A8 engine (r5): int8 banks + grouped expert GMM + bf16 SSM state
+        # restore the r3 dims (128 experts x 12 layers x 512 inter) — the
+        # f32 weight set could never fit (19 GB of experts); int8 is ~5 GB
+        cfg = qn.QwenNextConfig(
+            vocab_size=32768, hidden_size=2048, num_layers=12,
+            full_attention_interval=4,
+            num_qk_heads=8, num_v_heads=8, head_qk_dim=128, head_v_dim=128,
+            conv_width=4, chunk_size=64,
+            num_heads=16, num_kv_heads=2, head_dim=128,
+            page_size=128, num_experts=128, top_k=10,
+            moe_intermediate_size=512, shared_intermediate_size=512,
+            max_position=8192, num_loras=0, lora_rank=8)
+        batch, k_steps, reps, ctx = args.batch, 8, 3, args.ctx
     else:
-        # this model family stores f32 weights (HF-faithful loader); the
-        # r3 dims (128 experts x 12 layers x 512 inter) were ~13 GB of
-        # expert weights alone and RESOURCE_EXHAUSTED the 16 GB chip
-        # (2026-08-20) — scale to 64 experts x 8 layers (~5 GB params)
+        # legacy f32 config (SKT_QWEN_QUANT=0): scaled to fit 16 GB in f32
         cfg = qn.QwenNextConfig(
             vocab_size=32768, hidden_size=2048, num_layers=8,
             full_attention_interval=4,
@@ -485,8 +524,14 @@ def run_bench_qwen(args):
     max_pages = -(-(ctx + total_new) // ps)
     num_pages = batch * max_pages + 1
 
-    params = qn.init_params(cfg, 0)
-    state = qn.init_state(cfg, batch, num_pages)
+    if quant and not args.smoke:
+        params = qn.init_params_q(cfg, 0)
+        state = qn.init_state(cfg, batch, num_pages, ssm_dtype=jnp.bfloat16)
+        step_fn = qn.decode_step_q
+    else:
+        params = qn.init_params(cfg, 0)
+        state = qn.init_state(cfg, batch, num_pages)
+        step_fn = qn.decode_step
     rng = np.random.default_rng(0)
     bt = jnp.array(
         rng.permutation(num_pages - 1)[: batch * max_pages]
@@ -499,7 +544,7 @@ def run_bench_qwen(args):
             state, ids, pos = carry
             seq = pos + 1
             slots = (bt[jnp.arange(batch), pos // ps] * ps + pos % ps)
-            logits, state = qn.decode_step(params, cfg, state, ids, pos, seq,
+            logits, state = step_fn(params, cfg, state, ids, pos, seq,
                                            bt, slots)
             return state, jnp.argmax(logits, -1).astype(jnp.int32), pos + 1
         return jax.lax.fori_loop(0, k_steps, body, (state, ids, pos))
@@ -509,14 +554,16 @@ def run_bench_qwen(args):
         lambda st: stepk(params, *st), k_steps, reps, (state, ids0, pos0),
         lambda st: int(np.asarray(st[1][0])))
 
-    # weight stream (f32 weights in this model family) + KV/SSM state traffic
+    # weight stream (actual dtypes: int8 banks in the quantized engine, f32
+    # in the legacy config) + KV/SSM state traffic
     w_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                   for a in jax.tree.leaves(params)) \
         - int(np.prod(params["embed"].shape)) * params["embed"].dtype.itemsize
     kv_per_tok = cfg.num_attn_layers * 2 * cfg.num_kv_heads * cfg.head_dim \
         * 2 * (ctx + total_new // 2)
+    ssm_elt = state["ssm"].dtype.itemsize
     ssm_per_req = cfg.num_gdn_layers * cfg.num_v_heads * cfg.head_qk_dim \
-        * cfg.head_v_dim * 4 * 2   # read+write f32 SSM state
+        * cfg.head_v_dim * ssm_elt * 2   # read+write SSM state
     roofline = props.hbm_gbps * 1e9 / (
         w_bytes / batch + kv_per_tok + ssm_per_req)
     _emit("decode_tokens_per_s_per_chip_qwen_next_hybrid" +

@@ -149,13 +149,18 @@ def init_params(cfg: QwenNextConfig, seed: int = 0) -> Dict[str, Any]:
     return params
 
 
-def init_state(cfg: QwenNextConfig, batch: int, num_pages: int):
+def init_state(cfg: QwenNextConfig, batch: int, num_pages: int,
+               ssm_dtype=jnp.float32):
     ng, na = cfg.num_gdn_layers, cfg.num_attn_layers
     conv_dim = cfg.num_qk_heads * 2 * cfg.head_qk_dim + cfg.num_v_heads * cfg.head_v_dim
     return {
         "conv": jnp.zeros((ng, batch, conv_dim, cfg.conv_width - 1), jnp.float32),
+        # bf16 SSM state is the quantized-engine default: the recurrent update
+        # computes in f32 and casts back (ops/gdn/gating.py), and the state
+        # pool read+write is the dominant GDN decode traffic (~1.2 GB/step f32
+        # at the r3 dims — VERDICT r4 next-2)
         "ssm": jnp.zeros((ng, batch, cfg.num_v_heads, cfg.head_qk_dim,
-                          cfg.head_v_dim), jnp.float32),
+                          cfg.head_v_dim), ssm_dtype),
         "k_cache": jnp.zeros((na, cfg.num_kv_heads, num_pages, cfg.page_size,
                               cfg.head_dim), jnp.bfloat16),
         "v_cache": jnp.zeros((na, cfg.num_kv_heads, num_pages, cfg.page_size,
@@ -375,6 +380,355 @@ def forward_full(params, cfg: QwenNextConfig, input_ids):
 
     x = _rms(x, params["final_norm"], cfg.rms_eps)
     return x @ params["lm_head"]
+
+
+# --------------------------------------------------------------------------
+# W8A8 quantized engine (VERDICT r4 next-2: "quantize Qwen-Next end-to-end")
+#
+# The f32 paths above stay as the HF-parity goldens; the quantized engine
+# mirrors the Llama W8A8 design: per-output-channel int8 weights in pre-tiled
+# contiguous-DMA banks indexed in-kernel (quant_matmul_int8_stacked /
+# grouped_matmul_int8_pallas with a static layer id riding the scalar-prefetch
+# map — no XLA weight slices feed the kernels), per-token dynamic activation
+# quant, experts through the megablox-style aligned grouped GEMM
+# (the reference's W8A8 MoE core, fused_deep_moe.h GMM + swiglu_quant.py).
+# --------------------------------------------------------------------------
+
+
+def _quant_cols_np(rng, shape, s=0.05):
+    """Direct int8 init in the FINAL bank layout (numpy host-side): at the r3
+    dims the f32 expert set alone is ~19 GB — it can never exist on the chip,
+    so the bench initializes quantized banks directly (real deployments
+    quantize at load time via quantize_qwen_weights)."""
+    q = jnp.asarray(rng.integers(-127, 128, shape, dtype=np.int8))
+    scale = jnp.full(shape[-1:], s / 127.0, jnp.float32)
+    return q, scale
+
+
+def _quantize_w(w):
+    """f32 [..., K, N] -> per-output-channel symmetric int8 + scale [..., N]."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=-2), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / s[..., None, :]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _pretile(w_q, bn):
+    """[L, K, N] -> [L, NB, K, bn'] (ops/matmul.py::pretile_weight_bank),
+    with bn' the largest 128-stepped divisor of N at most bn (whole-N panel
+    when none divides — small/odd banks)."""
+    from ..ops.matmul import pretile_weight_bank
+    n = w_q.shape[-1]
+    cands = [c for c in range(min(bn, n), 0, -128) if n % c == 0]
+    return pretile_weight_bank(w_q, cands[0] if cands else n)
+
+
+def quantize_qwen_weights(params, cfg: QwenNextConfig, block_n: int = 512):
+    """Quantize a loaded f32 param set into the fast W8A8 bank layout
+    (params["fast"]), FREEING each f32 original as its int8 copy lands (the
+    llama pretile_big_weights swap — holding both would OOM at real dims).
+    The f32 router/conv/norm/gating/lora params stay. Returns params."""
+    bn = block_n
+    fast = {}
+
+    def swap(tree, key, build):
+        w = tree[key]
+        q, s = build(w)
+        jax.block_until_ready(q)
+        if isinstance(w, jax.Array):
+            w.delete()
+        tree[key] = None
+        return {"q": q, "scale": s}
+
+    def bank(w):
+        q, s = _quantize_w(w)
+        return _pretile(q, bn), s
+
+    g, a, m = params["gdn"], params["attn"], params["moe"]
+    fast["gdn_wqkvz"] = swap(g, "wqkvz", bank)
+    fast["gdn_wo"] = swap(g, "wo", bank)
+    fast["attn_wq"] = swap(a, "wq", bank)
+    fast["attn_wk"] = swap(a, "wk", bank)
+    fast["attn_wv"] = swap(a, "wv", bank)
+    fast["attn_wo"] = swap(a, "wo", bank)
+    fast["shared_w13"] = swap(m, "shared_w13", bank)
+    fast["shared_w2"] = swap(m, "shared_w2", bank)
+
+    def expert_bank(w):
+        # [nl, e, K, N] -> flat [nl*e, ...] so the grouped kernel selects
+        # (layer, expert) purely through its eid map (eid + li*e) — the
+        # whole-bank operand never gets sliced by XLA
+        nl, e = w.shape[:2]
+        q, s = _quantize_w(w.reshape((nl * e,) + w.shape[2:]))
+        return _pretile(q, bn), s
+
+    fast["experts_w13"] = swap(m, "w13", expert_bank)
+    fast["experts_w2"] = swap(m, "w2", expert_bank)
+    fast["lm_head"] = swap(params, "lm_head",
+                           lambda w: bank(w[None]))
+    params["fast"] = fast
+    return params
+
+
+def init_params_q(cfg: QwenNextConfig, seed: int = 0):
+    """Random-weight init straight into the quantized fast layout (bench /
+    smoke path; see _quant_cols_np for why f32-then-quantize is impossible at
+    the r3 dims)."""
+    rng = np.random.default_rng(seed)
+    h = cfg.hidden_size
+    r = cfg.num_v_heads // cfg.num_qk_heads
+    qkvz_dim = cfg.num_qk_heads * (2 * cfg.head_qk_dim + 2 * r * cfg.head_v_dim)
+    ba_dim = cfg.num_qk_heads * 2 * r
+    conv_dim = cfg.num_qk_heads * 2 * cfg.head_qk_dim + cfg.num_v_heads * cfg.head_v_dim
+    ng, na, nl = cfg.num_gdn_layers, cfg.num_attn_layers, cfg.num_layers
+    e, f, fs = cfg.num_experts, cfg.moe_intermediate_size, cfg.shared_intermediate_size
+    bn = 512
+
+    def w(*shape, s=0.05):
+        return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
+
+    def bank_np(l, k, n, s=0.05):
+        cands = [c for c in range(min(bn, n), 0, -128) if n % c == 0]
+        bn_i = cands[0] if cands else n
+        q = jnp.asarray(rng.integers(-127, 128, (l, n // bn_i, k, bn_i),
+                                     dtype=np.int8))
+        return {"q": q, "scale": jnp.full((l, n), s / 127.0, jnp.float32)}
+
+    params = {
+        "embed": jnp.asarray(rng.standard_normal((cfg.vocab_size, h)) * 0.02,
+                             jnp.bfloat16),
+        "final_norm": jnp.ones((h,), jnp.float32),
+        "cos_sin": make_cos_sin_cache(cfg.max_position, cfg.rotary_dim,
+                                      base=cfg.rope_theta),
+        "gdn": {
+            "in_norm": jnp.ones((ng, h), jnp.float32),
+            "wba": w(ng, h, ba_dim),
+            "conv_w": w(ng, conv_dim, cfg.conv_width),
+            "conv_b": jnp.zeros((ng, conv_dim), jnp.float32),
+            "A_log": w(ng, cfg.num_v_heads, s=0.2),
+            "dt_bias": w(ng, cfg.num_v_heads, s=0.2),
+            "out_norm_w": jnp.ones((ng, cfg.num_v_heads * cfg.head_v_dim),
+                                   jnp.float32),
+        },
+        "attn": {
+            "in_norm": jnp.ones((na, h), jnp.float32),
+            "q_norm": jnp.ones((na, cfg.head_dim), jnp.float32),
+            "k_norm": jnp.ones((na, cfg.head_dim), jnp.float32),
+        },
+        "moe": {
+            "norm": jnp.ones((nl, h), jnp.float32),
+            "router": w(nl, h, e),
+            "shared_gate": w(nl, h, 1),
+        },
+        "lora": {
+            "A": w(max(cfg.num_loras, 1), cfg.lora_rank,
+                   cfg.num_heads * cfg.head_dim),
+            "B": w(max(cfg.num_loras, 1), h, cfg.lora_rank),
+        },
+        "fast": {
+            "gdn_wqkvz": bank_np(ng, h, qkvz_dim),
+            "gdn_wo": bank_np(ng, cfg.num_v_heads * cfg.head_v_dim, h),
+            "attn_wq": bank_np(na, h, cfg.num_heads * cfg.head_dim * 2),
+            "attn_wk": bank_np(na, h, cfg.num_kv_heads * cfg.head_dim),
+            "attn_wv": bank_np(na, h, cfg.num_kv_heads * cfg.head_dim),
+            "attn_wo": bank_np(na, cfg.num_heads * cfg.head_dim, h),
+            "shared_w13": bank_np(nl, h, 2 * fs),
+            "shared_w2": bank_np(nl, fs, h),
+            "experts_w13": bank_np(nl * e, h, 2 * f),
+            "experts_w2": bank_np(nl * e, f, h),
+            "lm_head": bank_np(1, h, cfg.vocab_size, s=0.02),
+        },
+    }
+    return params
+
+
+def _qmm_st(x, bank, li):
+    """Per-token INT8 quant + stacked tiled W8A8 GEMM at (static) layer li."""
+    from ..ops.matmul import quant_matmul_int8_stacked
+    from ..ops.quant import per_token_quant_int8
+
+    xq, xs = per_token_quant_int8(x)
+    return quant_matmul_int8_stacked(xq, bank["q"], jnp.int32(li), xs,
+                                     bank["scale"], out_dtype=x.dtype)
+
+
+def _moe_mlp_q(x, params, cfg: QwenNextConfig, li: int):
+    """Quantized sparse-MoE block: router (f32) -> aligned expert compaction
+    -> grouped W8A8 GMM1 -> SwiGLU -> requant -> GMM2 -> weighted scatter,
+    plus the int8 shared expert. The (layer, expert) pair selects weights
+    through the grouped kernel's eid map (eid + li*e) — the flat
+    [nl*e, NB, K, bn] bank is never sliced.
+
+    Ref: the GMM-SwiGLU-GMM core of aclnnFusedDeepMoe
+    (csrc/deepep/ops/op_kernel/fused_deep_moe.h:59-95) + swiglu_quant.py."""
+    from ..ops.matmul import (grouped_matmul_int8_pallas,
+                              grouped_matmul_int8_ref, untile_weight_bank)
+    from ..ops.quant import per_token_quant_int8
+    from ..utils import use_pallas
+
+    fast = params["fast"]
+    t, h = x.shape
+    e, k, f = cfg.num_experts, cfg.top_k, cfg.moe_intermediate_size
+    router = params["moe"]["router"][li]
+    probs = jax.nn.softmax((x.astype(jnp.float32) @ router), axis=-1)
+    topw, topi = jax.lax.top_k(probs, k)
+    if cfg.norm_topk_prob:
+        topw = topw / jnp.sum(topw, -1, keepdims=True)
+
+    flat_i = topi.reshape(-1)
+    order = jnp.argsort(flat_i)
+    group_list = jnp.sum(jax.nn.one_hot(flat_i, e, dtype=jnp.int32), axis=0)
+    xq, xs = per_token_quant_int8(x)
+
+    cap = t * k
+    if use_pallas():
+        tile = 128
+        tight_off = jnp.cumsum(group_list) - group_list
+        al_sizes = ((group_list + tile - 1) // tile) * tile
+        incl = jnp.cumsum(al_sizes)
+        al_off = incl - al_sizes
+        cap_pad = ((cap + tile - 1) // tile + e) * tile        # static
+        j = jnp.arange(cap_pad, dtype=jnp.int32)
+        eix = jnp.clip(jnp.searchsorted(incl, j, side="right"), 0, e - 1)
+        idx = j - al_off[eix]
+        ok = idx < group_list[eix]
+        pos = jnp.clip(tight_off[eix] + idx, 0, cap - 1)
+        src = order[pos]                                       # flat slot
+        tok = src // k
+        xg = jnp.where(ok[:, None], xq[tok], 0)
+        xsg = jnp.where(ok[:, None], xs[tok], 0.0)
+        eid = jnp.clip(jnp.searchsorted(
+            incl, jnp.arange(cap_pad // tile, dtype=jnp.int32) * tile,
+            side="right"), 0, e - 1) + li * e
+        ug = grouped_matmul_int8_pallas(
+            xg, fast["experts_w13"]["q"], xsg,
+            fast["experts_w13"]["scale"], eid)
+        g32 = ug.astype(jnp.float32)
+        act = g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]
+        actq, acts = per_token_quant_int8(act)
+        acts = jnp.where(ok[:, None], acts, 0.0)
+        y = grouped_matmul_int8_pallas(
+            actq, fast["experts_w2"]["q"], acts,
+            fast["experts_w2"]["scale"], eid)
+        wrow = topw.reshape(-1)[src]
+        flat_idx = jnp.where(ok, src, cap)
+        buf = jnp.zeros((cap + 1, h), jnp.float32).at[flat_idx].set(
+            y.astype(jnp.float32) * wrow[:, None], mode="drop")
+        routed = buf[:cap].reshape(t, k, h).sum(1)
+    else:
+        # reference tier: tight sort + ragged grouped GEMM on the un-tiled
+        # per-layer expert slice (tests / CPU)
+        tok_sorted = order // k
+        xg = xq[tok_sorted]
+        xsg = xs[tok_sorted]
+        w13 = untile_weight_bank(fast["experts_w13"]["q"][li * e:(li + 1) * e])
+        w13s = fast["experts_w13"]["scale"][li * e:(li + 1) * e]
+        w2 = untile_weight_bank(fast["experts_w2"]["q"][li * e:(li + 1) * e])
+        w2s = fast["experts_w2"]["scale"][li * e:(li + 1) * e]
+        ug = grouped_matmul_int8_ref(xg, w13, xsg, w13s, group_list)
+        g32 = ug.astype(jnp.float32)
+        act = g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]
+        actq, acts = per_token_quant_int8(act)
+        y = grouped_matmul_int8_ref(actq, w2, acts, w2s, group_list)
+        ws = topw.reshape(-1)[order]
+        routed = jnp.zeros((cap, h), jnp.float32).at[order].set(
+            y.astype(jnp.float32) * ws[:, None]).reshape(t, k, h).sum(1)
+
+    fs = cfg.shared_intermediate_size
+    ug_s = _qmm_st(x, fast["shared_w13"], li).astype(jnp.float32)
+    act_s = (ug_s[:, :fs] * jax.nn.sigmoid(ug_s[:, :fs])
+             * ug_s[:, fs:]).astype(x.dtype)
+    shared = _qmm_st(act_s, fast["shared_w2"], li).astype(jnp.float32)
+    shared = shared * jax.nn.sigmoid(
+        x.astype(jnp.float32) @ params["moe"]["shared_gate"][li])
+    return (routed + shared).astype(x.dtype)
+
+
+def decode_step_q(params, cfg: QwenNextConfig, state, input_ids, positions,
+                  seq_lens, block_table, slot_mapping, lora_indices=None):
+    """Quantized hybrid decode step (params from init_params_q or
+    quantize_qwen_weights). Same contract as decode_step."""
+    b = input_ids.shape[0]
+    hqk, hv = cfg.num_qk_heads, cfg.num_v_heads
+    dqk, dv = cfg.head_qk_dim, cfg.head_v_dim
+    fast = params["fast"]
+    x = params["embed"][input_ids].astype(jnp.bfloat16)
+
+    new_conv, new_ssm, new_kc, new_vc = [], [], [], []
+    gi = ai = 0
+    for li in range(cfg.num_layers):
+        if not cfg.is_full_attention(li):  # GDN block
+            p = jax.tree.map(lambda a: a[gi], params["gdn"])
+            h1 = _rms(x, p["in_norm"], cfg.rms_eps).astype(jnp.bfloat16)
+            qkvz = _qmm_st(h1, fast["gdn_wqkvz"], gi)
+            ba = h1.astype(jnp.float32) @ p["wba"]
+            mixed_qkv, z, bb, aa = gdn.fused_qkvzba_split_reshape_cat(
+                qkvz.astype(jnp.float32), ba, hqk, hv, dqk, dv)
+            qkv, conv = mamba.causal_conv1d_update(
+                mixed_qkv, state["conv"][gi],
+                p["conv_w"], p["conv_b"], activation="silu")
+            q = qkv[:, : hqk * dqk].reshape(b, 1, hqk, dqk)
+            k = qkv[:, hqk * dqk:2 * hqk * dqk].reshape(b, 1, hqk, dqk)
+            v = qkv[:, 2 * hqk * dqk:].reshape(b, 1, hv, dv)
+            o, ssm = gdn.fused_sigmoid_gating_delta_rule_update(
+                p["A_log"], aa[:, None], p["dt_bias"], 1.0, 20.0,
+                q, k, v, bb[:, None], state["ssm"][gi], jnp.arange(b),
+                use_qk_l2norm_in_kernel=True)
+            o = gdn.layernorm_gated(
+                o.reshape(b, hv * dv), p["out_norm_w"], None,
+                z.reshape(b, hv * dv), cfg.rms_eps, group_size=dv,
+                is_rms_norm=True)
+            x = x + _qmm_st(o.astype(jnp.bfloat16), fast["gdn_wo"], gi)
+            new_conv.append(conv)
+            new_ssm.append(ssm)
+            gi += 1
+        else:  # full attention block
+            p = jax.tree.map(lambda a: a[ai], params["attn"])
+            h1 = _rms(x, p["in_norm"], cfg.rms_eps).astype(jnp.bfloat16)
+            nq, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+            qg = _qmm_st(h1, fast["attn_wq"], ai).reshape(b, nq, 2 * d)
+            q, gate = qg[..., :d], qg[..., d:].reshape(b, nq * d)
+            k = _qmm_st(h1, fast["attn_wk"], ai).reshape(b, nkv, d)
+            v = _qmm_st(h1, fast["attn_wv"], ai).reshape(b, nkv, d)
+            q = _rms(q, p["q_norm"], cfg.rms_eps)
+            k = _rms(k, p["k_norm"], cfg.rms_eps)
+            rd = cfg.rotary_dim
+            cs = params["cos_sin"][positions]
+            cos, sin = cs[:, None, : rd // 2], cs[:, None, rd // 2:]
+            q, k = _apply_partial_rope(q, k, cos, sin, rd)
+            kc, vc = reshape_and_cache_gqa(
+                k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                state["k_cache"][ai], state["v_cache"][ai], slot_mapping)
+            att = decode_gqa(q.astype(jnp.bfloat16), kc, vc, seq_lens,
+                             block_table, 1.0 / cfg.head_dim ** 0.5,
+                             cfg.page_size)
+            att = att.reshape(b, -1).astype(jnp.float32)
+            att = (att * jax.nn.sigmoid(gate.astype(jnp.float32))).astype(
+                jnp.bfloat16)
+            o = _qmm_st(att, fast["attn_wo"], ai)
+            if lora_indices is not None:
+                shr = lora.bgmv_shrink(att.astype(jnp.float32),
+                                       params["lora"]["A"], lora_indices)
+                o = lora.bgmv_expand(shr, params["lora"]["B"], lora_indices,
+                                     o.astype(jnp.float32), 0,
+                                     cfg.hidden_size).astype(jnp.bfloat16)
+            x = x + o
+            new_kc.append(kc)
+            new_vc.append(vc)
+            ai += 1
+
+        h2 = _rms(x, params["moe"]["norm"][li], cfg.rms_eps).astype(
+            jnp.bfloat16)
+        x = x + _moe_mlp_q(h2, params, cfg, li)
+
+    x = _rms(x, params["final_norm"], cfg.rms_eps).astype(jnp.bfloat16)
+    logits = _qmm_st(x, fast["lm_head"], 0).astype(jnp.float32)
+    state = {
+        "conv": (jnp.stack(new_conv) if new_conv else state["conv"]),
+        "ssm": (jnp.stack(new_ssm) if new_ssm else state["ssm"]),
+        "k_cache": (jnp.stack(new_kc) if new_kc else state["k_cache"]),
+        "v_cache": (jnp.stack(new_vc) if new_vc else state["v_cache"]),
+    }
+    return logits, state
 
 
 def prefill_gdn_layer(params, cfg: QwenNextConfig, x_seq, gi: int = 0):

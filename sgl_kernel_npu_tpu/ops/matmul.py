@@ -171,6 +171,12 @@ def quant_matmul_int8_stacked_tiled(x_q, w_tiled, li, x_scale, w_scale_stacked,
         block_m = m if m <= 256 or m % 256 else 256
     from ..utils import env as _env
     block_k = min(block_k or _env.env_int("SKT_GEMM_BK", 7168), k)
+    # snap to the largest dividing tile: a non-dividing block_k would make the
+    # boundary K block read out-of-bounds pad garbage straight into the int32
+    # accumulator (llama's K dims all divide the default; MLA's padded
+    # intermediate 11264 does not)
+    while k % block_k:
+        block_k -= 128
     k_tiles = cdiv(k, block_k)
     tile_map = jnp.full((m // block_m,), li, jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -467,15 +473,16 @@ def grouped_matmul_int8(x_q, w_q, x_scale, w_scale, group_list, out_dtype=jnp.bf
 
 
 def _gmm_int8_kernel(eid_ref, x_ref, w_ref, xs_ref, ws_ref, out_ref, acc_ref,
-                     *, k_tiles):
+                     *, k_tiles, tiled):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    w = w_ref[0, 0] if tiled else w_ref[0]
     acc_ref[...] += jax.lax.dot_general(
-        x_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        x_ref[...], w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
@@ -499,31 +506,50 @@ def grouped_matmul_int8_pallas(x_q, w_q, x_scale, w_scale, expert_per_mtile,
     per-expert tiling; here one Pallas kernel whose m-tile -> expert map rides
     the scalar-prefetch channel (the TPU analogue of its tiling descriptor).
 
-    x_q [M, K] int8 (M % block_m == 0), w_q [G, K, N] int8, x_scale [M, 1] f32
-    (0 for padding rows -> zero output), w_scale [G, N] f32,
-    expert_per_mtile [M // block_m] int32.
+    x_q [M, K] int8 (M % block_m == 0), w_q [G, K, N] int8 OR a pre-tiled
+    [G, NB, K, bn] bank (pretile_weight_bank over the expert dim — contiguous
+    weight-tile DMAs, the same treatment the stacked per-layer GEMM gets),
+    x_scale [M, 1] f32 (0 for padding rows -> zero output), w_scale [G, N]
+    f32, expert_per_mtile [M // block_m] int32.
     """
     m, k = x_q.shape
-    g, _, n = w_q.shape
+    tiled = w_q.ndim == 4
+    if tiled:
+        g, nb, _, bn = w_q.shape
+        n = nb * bn
+        block_n = bn
+    else:
+        g, _, n = w_q.shape
+        block_n = min(block_n, n)
     assert m % block_m == 0, "pad rows to the m-tile (aligned compaction)"
-    block_n, block_k = min(block_n, n), min(block_k, k)
+    block_k = min(block_k, k)
+    while k % block_k:
+        block_k -= 128          # largest dividing tile (see stacked_tiled)
     k_tiles = cdiv(k, block_k)
     grid = (m // block_m, cdiv(n, block_n), k_tiles)
+    if tiled:
+        w_spec = pl.BlockSpec((1, 1, block_k, block_n),
+                              lambda i, j, kk, eid: (eid[i], j, kk, 0))
+    else:
+        w_spec = pl.BlockSpec((1, block_k, block_n),
+                              lambda i, j, kk, eid: (eid[i], kk, j))
+    ws_spec = pl.BlockSpec((1, 1, block_n),
+                           lambda i, j, kk, eid: (eid[i], 0, j))
+    w_scale = w_scale.reshape(g, 1, n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk, eid: (i, kk)),
-            pl.BlockSpec((1, block_k, block_n),
-                         lambda i, j, kk, eid: (eid[i], kk, j)),
+            w_spec,
             pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
-            pl.BlockSpec((1, 1, block_n), lambda i, j, kk, eid: (eid[i], 0, j)),
+            ws_spec,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk, eid: (i, j)),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
     )
     return pl.pallas_call(
-        partial(_gmm_int8_kernel, k_tiles=k_tiles),
+        partial(_gmm_int8_kernel, k_tiles=k_tiles, tiled=tiled),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -534,8 +560,7 @@ def grouped_matmul_int8_pallas(x_q, w_q, x_scale, w_scale, expert_per_mtile,
             bytes_accessed=m * k + g * k * n + m * n * 2, transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(expert_per_mtile, x_q, w_q, x_scale.astype(jnp.float32),
-      w_scale.reshape(g, 1, n))
+    )(expert_per_mtile, x_q, w_q, x_scale.astype(jnp.float32), w_scale)
 
 
 # --------------------------------------------------------- batch_matmul_transpose
