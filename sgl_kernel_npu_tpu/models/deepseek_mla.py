@@ -23,6 +23,7 @@ from ..ops import mla_preprocess as mp
 from ..ops.attention.decode import decode_mla
 from ..ops.matmul import quant_matmul_int8_ref
 from ..ops.quant import per_token_quant_int8
+from ..utils import env, on_tpu, use_pallas
 
 
 @dataclass(frozen=True)
@@ -164,6 +165,252 @@ def fuse_mla_weights(params):
 def _qmm(x, w):
     xq, xs = per_token_quant_int8(x)
     return quant_matmul_int8_ref(xq, w["q"], xs, w["scale"], out_dtype=x.dtype)
+
+
+def combined_width(cfg: MlaConfig) -> int:
+    """Latent row width of the combined cache: Lkv+Lrope zero-padded up to a
+    lane-tile multiple — Mosaic rejects DMA slices whose minor dim is not
+    128-aligned (chip probe 2026-08-20: 576 -> "must be aligned to tiling
+    (128)"), so DeepSeek's 512|64 row stores as 640 with 64 zero lanes
+    (+11% KV stream, the price of one-DMA-per-page fetches)."""
+    return -(-(cfg.kv_lora_rank + cfg.qk_rope_dim) // 128) * 128
+
+
+def init_kv_cache_combined(cfg: MlaConfig, num_pages: int, dtype=jnp.bfloat16):
+    """COMBINED latent pages [L, P, ps, cpad] (ctkv | krope | zero pad) — the
+    reference's cache_mode 0 "full" layout (csrc/mla_preprocess/README.md),
+    chosen for the fast decode because one DMA then fetches a page's whole
+    latent row set (ops/attention/decode_mla_v2.py; see combined_width)."""
+    return jnp.zeros((cfg.num_layers, num_pages, cfg.page_size,
+                      combined_width(cfg)), dtype)
+
+
+_MLA_BIG = ("wdqkv", "wuq", "wo", "w13", "w2")
+
+
+def _pad_cols(a, n_pad):
+    """Zero-pad the last axis to n_pad."""
+    if a.shape[-1] == n_pad:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, n_pad - a.shape[-1])]
+    return jnp.pad(a, pad)
+
+
+def pretile_mla_weights(params, cfg: MlaConfig, block_n: int = None):
+    """Build the fast-decode weight set (one-time load transform, the MLA twin
+    of llama.pretile_big_weights):
+
+      * the five big INT8 banks as pre-tiled [L, NB, K, bn] contiguous-DMA
+        panels (ops/matmul.py::pretile_weight_bank), transposed to [K, N]
+        where the checkpoint stores [out, in], with output dims zero-padded
+        up to a bn multiple (wdqkv N 2112 -> 2560; w13/w2 pad the
+        intermediate to a bn multiple; zero columns produce exact zeros, so
+        sliced outputs are unchanged)
+      * wuk/wuv as bf16 (they stream every step; f32 doubles their traffic)
+      * lm_head as a 1-layer bank for the serving path (the greedy bench
+        keeps the 2-D int8 copy: XLA fuses dot->argmax and never writes the
+        [B, V] f32 logits)
+
+    Stored under params["fast"]; originals are kept (they serve the prefill /
+    verify paths and the parity tests — the MLA param set is ~2.6 GB, small
+    enough to hold both on a 16 GB chip). Returns params."""
+    from ..ops.matmul import pretile_weight_bank
+
+    bn = block_n or env.env_int("SKT_GEMM_BN", 512)
+    lay = params["layers"]
+    f = cfg.intermediate_size
+    f_pad = -(-f // min(bn, f)) * min(bn, f)
+
+    def tile(kn):
+        # pad N up to a panel multiple (small tiny-config dims become one
+        # full-width panel) and pretile
+        bn_i = min(bn, kn.shape[-1])
+        n_pad = -(-kn.shape[-1] // bn_i) * bn_i
+        return pretile_weight_bank(_pad_cols(kn, n_pad), bn_i), n_pad
+
+    def tile_out_in(bank):
+        # [L, out, in] int8 + [L, out] descale/bias -> padded tiled [K, N]
+        q, n_pad = tile(jnp.transpose(bank["q"], (0, 2, 1)))
+        out = {"q": q, "scale": _pad_cols(bank["descale"], n_pad)}
+        if "bias" in bank:
+            out["bias"] = _pad_cols(bank["bias"], n_pad)
+        return out
+
+    w13q = lay["w13"]["q"]                       # [L, h, 2f] int8
+    w13s = lay["w13"]["scale"]
+    w13_pad = jnp.concatenate(
+        [_pad_cols(w13q[..., :f], f_pad), _pad_cols(w13q[..., f:], f_pad)], -1)
+    w13s_pad = jnp.concatenate(
+        [_pad_cols(w13s[..., :f], f_pad), _pad_cols(w13s[..., f:], f_pad)], -1)
+    w2_pad = jnp.pad(lay["w2"]["q"], ((0, 0), (0, f_pad - f), (0, 0)))
+
+    fast = {
+        "wdqkv": tile_out_in(lay["wdqkv"]),
+        "wuq": tile_out_in(lay["wuq"]),
+        "wo": {"q": tile(lay["wo"]["q"])[0], "scale": lay["wo"]["scale"]},
+        "w13": {"q": tile(w13_pad)[0], "scale": w13s_pad},
+        "w2": {"q": tile(w2_pad)[0], "scale": lay["w2"]["scale"]},
+        "wuk": lay["wuk"].astype(jnp.bfloat16),
+        "wuv": lay["wuv"].astype(jnp.bfloat16),
+    }
+    params["fast"] = fast
+    return params
+
+
+def _qmm_l(x, bank, li):
+    """Per-token INT8 quant + stacked tiled W8A8 GEMM at layer li."""
+    from ..ops.matmul import quant_matmul_int8_stacked
+
+    xq, xs = per_token_quant_int8(x)
+    return quant_matmul_int8_stacked(xq, bank["q"], li, xs, bank["scale"],
+                                     out_dtype=x.dtype)
+
+
+def _nrq_l(x, norm_w, bank, li, eps):
+    """Fused RMSNorm -> per-token INT8 quant -> stacked GEMM (llama._nrq_l)."""
+    if use_pallas() and x.shape[0] >= 8 and env.env_bool("SKT_FUSED_RMSQ", True):
+        from ..ops.rmsq_gemm import rmsnorm_quant_gemm
+        beta = jnp.zeros((x.shape[-1],), jnp.float32)
+        return rmsnorm_quant_gemm(
+            x, norm_w, beta, bank["q"], bank["scale"], None, li=li,
+            quant_mode="per_token", eps=eps, out_dtype=x.dtype)
+    from ..ops.matmul import quant_matmul_int8_stacked
+    xn = _rms(x, norm_w, eps)
+    xq, xs = per_token_quant_int8(xn)
+    return quant_matmul_int8_stacked(xq, bank["q"], li, xs, bank["scale"],
+                                     out_dtype=x.dtype)
+
+
+def _rmsq_gemm_pt(x, gamma, beta, bank, li, qscale, qoffset, eps):
+    """Per-tensor RMSNormQuant->GEMM stage on a tiled bank (the fused tier of
+    mla_preprocess's two stages; falls back to the unfused reference math
+    off-Pallas so tiny-config CPU tests exercise identical numerics)."""
+    from ..ops.rmsq_gemm import rmsnorm_quant_gemm, rmsnorm_quant_gemm_ref
+
+    if use_pallas() and x.shape[0] >= 8:
+        return rmsnorm_quant_gemm(
+            x, gamma, beta, bank["q"], bank["scale"], bank["bias"],
+            qscale, qoffset, li=li, quant_mode="per_tensor", eps=eps,
+            quant_cast="fp16")
+    from ..ops.matmul import untile_weight_bank
+    wl = jax.lax.dynamic_index_in_dim(bank["q"], li, 0, keepdims=True)
+    w_kn = untile_weight_bank(wl)[0]
+    ds = jax.lax.dynamic_index_in_dim(bank["scale"], li, 0, keepdims=False)
+    bias = jax.lax.dynamic_index_in_dim(bank["bias"], li, 0, keepdims=False)
+    return rmsnorm_quant_gemm_ref(
+        x, gamma, beta, w_kn, ds, bias, qscale, qoffset,
+        quant_mode="per_tensor", eps=eps, quant_cast="fp16")
+
+
+def decode_step_c(params, cfg: MlaConfig, kv_cache,
+                  input_ids, positions, seq_lens, block_table, slot_mapping):
+    """Fast MLA decode over the COMBINED latent cache (the r5 perf path).
+
+    The llama treatment applied to MLA (VERDICT r4 next-1): the five big INT8
+    banks are closure-invariant pre-tiled panels indexed in-kernel by the
+    layer id (never sliced by the scan), both mla_preprocess RMSNormQuant->
+    GEMM stages run as single fused kernels, attention is the page-chunked
+    combined-cache mega-stream (decode_mla_v2) with the cache READ-ONLY
+    inside the layer scan, and all layers' new latent rows are appended once
+    post-scan (Pallas aligned read-merge-write). Requires
+    pretile_mla_weights(params, cfg) and an init_kv_cache_combined cache.
+
+    Returns (logits [B, V], kv_cache)."""
+    from ..ops.attention.decode_mla_v2 import (append_mla_pallas,
+                                               append_mla_ref,
+                                               decode_mla_pallas_v2_defer,
+                                               decode_mla_v2_ref)
+
+    b = input_ids.shape[0]
+    heads = cfg.num_heads
+    lkv, lrope = cfg.kv_lora_rank, cfg.qk_rope_dim
+    qn, kp = cfg.qk_nope_dim, cfg.qk_rope_dim
+    ps = cfg.page_size
+    num_pages = kv_cache.shape[1]
+    c_pad = kv_cache.shape[-1]
+    sm_scale = 1.0 / ((qn + kp) ** 0.5)
+    fast = params["fast"]
+    f_pad = fast["w2"]["q"].shape[2]   # padded intermediate (static shape)
+
+    x = params["embed"][input_ids]
+    cos = params["cos"][positions]
+    sin = params["sin"][positions]
+    cached = seq_lens - 1
+
+    small = {k: v for k, v in params["layers"].items() if k not in _MLA_BIG}
+
+    def layer(carry, lp):
+        x, li = carry
+        # stage 1: RMSNormQuant -> wdqkv (fused; fp16-clamp per-tensor quant,
+        # the reference's quant_per_tensor semantics)
+        fused = _rmsq_gemm_pt(x, lp["gamma0"], lp["beta0"], fast["wdqkv"], li,
+                              lp["qscale0"], lp["qoffset0"], cfg.rms_eps)
+        latent = fused[:, : lkv + lrope]
+        cq = fused[:, lkv + lrope: cfg.mm1_out]
+        ctkv = _rms(latent[:, :lkv], lp["gamma2"], cfg.rms_eps)
+        k_pe = latent[:, lkv:]
+
+        # stage 2: RMSNormQuant -> wuq (fused)
+        q_out = _rmsq_gemm_pt(cq, lp["gamma1"], lp["beta1"], fast["wuq"], li,
+                              lp["qscale1"], lp["qoffset1"], cfg.rms_eps)
+        q_out = q_out[:, : heads * (qn + kp)].reshape(b, heads, qn + kp)
+        q_nope, q_pe = q_out[..., :qn], q_out[..., qn:]
+
+        # EinSum wuk (bf16 weight stream): [B, H, 128] x [H, 128, 512].
+        # bf16 x bf16 -> f32 is the MXU-native form; the CPU test backend
+        # lacks that dot, so off-TPU the operands upcast to f32.
+        ed = jnp.bfloat16 if on_tpu() else jnp.float32
+        q_nope = jnp.einsum("bhd,hdk->bhk", q_nope.astype(ed),
+                            lp["wuk"].astype(ed),
+                            preferred_element_type=jnp.float32)
+
+        q_pe = mp.rotate_half_rope(q_pe, cos[:, None, :], sin[:, None, :])
+        k_pe = mp.rotate_half_rope(k_pe, cos, sin)
+        # zero-pad latent rows and q to the lane-aligned combined width: the
+        # padded score lanes contribute q_pad . kv_pad = 0 (combined_width)
+        cpad = c_pad - (lkv + lrope)
+        new_latent = jnp.concatenate([ctkv, k_pe], -1).astype(x.dtype)
+        new_latent = jnp.pad(new_latent, ((0, 0), (0, cpad)))
+        q = jnp.concatenate(
+            [q_nope, q_pe.astype(jnp.float32)], -1).astype(x.dtype)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, cpad)))
+
+        if use_pallas():
+            att = decode_mla_pallas_v2_defer(
+                q, new_latent, kv_cache, cached, block_table, sm_scale, ps,
+                lkv, layer_idx=li)
+        else:
+            att = decode_mla_v2_ref(
+                q, kv_cache, new_latent, cached, block_table, sm_scale, ps,
+                lkv, layer_idx=li)
+
+        att = jnp.einsum("bhk,hkd->bhd", att.astype(ed),
+                         lp["wuv"].astype(ed),
+                         preferred_element_type=jnp.float32)
+        x = x + _qmm_l(att.reshape(b, -1).astype(x.dtype), fast["wo"], li)
+
+        ug = _nrq_l(x, lp["post_norm"], fast["w13"], li, cfg.rms_eps)
+        g32 = ug.astype(jnp.float32)
+        act = (g32[:, :f_pad] * jax.nn.sigmoid(g32[:, :f_pad])
+               * g32[:, f_pad:]).astype(x.dtype)
+        x = x + _qmm_l(act, fast["w2"], li)
+        return (x, li + 1), new_latent
+
+    small_scan = dict(small)
+    small_scan["wuk"] = fast["wuk"]
+    small_scan["wuv"] = fast["wuv"]
+    (x, _), new_all = jax.lax.scan(layer, (x, jnp.int32(0)), small_scan)
+
+    pages_b = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)
+    offs_b = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
+    if use_pallas():
+        kv_cache = append_mla_pallas(new_all, kv_cache, pages_b, offs_b)
+    else:
+        kv_cache = append_mla_ref(new_all, kv_cache, pages_b, offs_b)
+
+    x = _rms(x, params["final_norm"], cfg.rms_eps)
+    logits = _qmm(x, params["lm_head"]).astype(jnp.float32)
+    return logits, kv_cache
 
 
 def decode_step(params, cfg: MlaConfig, ckv_cache, krope_cache,

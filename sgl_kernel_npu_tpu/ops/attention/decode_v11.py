@@ -19,6 +19,15 @@ fewer VPU ops than v9's masked [hq, hkv*ps] matrix. PV is the mirrored
 batched dot. Page chunking is fixed at ONE page per body (pair v11 with
 SKT_PAGE_SIZE=256/512 so a decode sequence is 1-2 pages).
 
+LIVE-ONLY fetch (r5): at ps=512 a full-page DMA streams every allocated
+token, but the mean LIVE context of the bench window is ~70% of a page —
+pure wasted HBM bytes for the tail sub-page. Each page is therefore fetched
+as ps/SKT_V12_SUB (default 128-token) sub-chunk DMAs, each conditioned on
+holding at least one live token: dead sub-chunks are never read. Score
+lanes of the partially-live boundary sub-chunk mask exactly as before
+(stale VMEM in dead regions is harmless: int8 bit patterns are always
+finite, and the f32 scale lanes are where()-zeroed).
+
 Reference parity: decode attention package
 (python/sgl_kernel_npu/attention/decode_attention.py), SURVEY §3.5.
 """
@@ -37,13 +46,15 @@ from .decode_v6 import _finalize_rows
 
 _NEG_INF = -1e30
 NBUF = int(__import__("os").environ.get("SKT_V11_NBUF", "4"))
+SUB = int(__import__("os").environ.get("SKT_V12_SUB", "128"))
 
 
 def _kernel_v11_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
                      k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
                      kbuf, vbuf, ksbuf, vsbuf, acc_ref, m_ref, l_ref, sems,
-                     *, page_size, sm_scale, hkv, g, max_pages, batch):
+                     *, page_size, sm_scale, hkv, g, max_pages, batch, nsub):
     ps = page_size
+    sub = ps // nsub
     hq = hkv * g
     d = q_ref.shape[-1]
     dv = vn_ref.shape[-1]
@@ -56,19 +67,26 @@ def _kernel_v11_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
     def dma_page(slot, s, start):
         b = s // nc
         c = s - b * nc
-
-        @pl.when(c < npages(b))
-        def _():
-            page = bt_ref[b, c]
-            li = li_ref[0]
-            for hbm, buf, i in ((k_hbm, kbuf, 0), (v_hbm, vbuf, 1)):
-                copy = pltpu.make_async_copy(
-                    hbm.at[li, page], buf.at[slot], sems.at[slot, i])
-                copy.start() if start else copy.wait()
-            for hbm, buf, i in ((ks_hbm, ksbuf, 2), (vs_hbm, vsbuf, 3)):
-                copy = pltpu.make_async_copy(
-                    hbm.at[li, page], buf.at[slot], sems.at[slot, i])
-                copy.start() if start else copy.wait()
+        clen = seq_ref[b]
+        for j in range(nsub):
+            # live-only fetch: sub-chunk j of page c streams only when it
+            # holds at least one live token (j=0 ⇔ the old c < npages gate)
+            @pl.when(c * ps + j * sub < clen)
+            def _(j=j):
+                page = bt_ref[b, c]
+                li = li_ref[0]
+                for hbm, buf, i in ((k_hbm, kbuf, 0), (v_hbm, vbuf, 1)):
+                    copy = pltpu.make_async_copy(
+                        hbm.at[li, page, :, pl.ds(j * sub, sub), :],
+                        buf.at[slot, :, pl.ds(j * sub, sub), :],
+                        sems.at[slot, j, i])
+                    copy.start() if start else copy.wait()
+                for hbm, buf, i in ((ks_hbm, ksbuf, 2), (vs_hbm, vsbuf, 3)):
+                    copy = pltpu.make_async_copy(
+                        hbm.at[li, page, :, pl.ds(j * sub, sub)],
+                        buf.at[slot, :, pl.ds(j * sub, sub)],
+                        sems.at[slot, j, i])
+                    copy.start() if start else copy.wait()
 
     def valid_chunk(s):
         b = s // nc
@@ -155,6 +173,9 @@ def decode_gqa_pallas_v11_int8_defer(q, k_new, v_new, k_cache, v_cache,
     assert ps == page_size
     g = hq // hkv
     max_pages = block_table.shape[1]
+    # live-only sub-chunk fetch granularity: SUB tokens (8-aligned static
+    # offsets; nsub=1 restores whole-page DMAs for small pages)
+    nsub = max(1, ps // SUB) if ps % SUB == 0 else 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -177,12 +198,12 @@ def decode_gqa_pallas_v11_int8_defer(q, k_new, v_new, k_cache, v_cache,
             pltpu.VMEM((hq, dv), jnp.float32),
             pltpu.VMEM((hq, 1), jnp.float32),
             pltpu.VMEM((hq, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF, 4)),
+            pltpu.SemaphoreType.DMA((NBUF, nsub, 4)),
         ],
     )
     out = pl.pallas_call(
         partial(_kernel_v11_int8, page_size=page_size, sm_scale=sm_scale,
-                hkv=hkv, g=g, max_pages=max_pages, batch=b),
+                hkv=hkv, g=g, max_pages=max_pages, batch=b, nsub=nsub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, dv), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -187,7 +187,10 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
     while block_m * block_k * x.dtype.itemsize > 1024 * 1024:
         assert block_k % 2 == 0, f"K={k} has no even split small enough"
         block_k //= 2
-    assert k % block_k == 0 and block_k % 128 == 0, (k, block_k)
+    # the 128-lane rule is a Mosaic compile constraint; interpret mode (CPU
+    # tests at tiny dims, e.g. the MLA tiny config's q_lora 96) has none
+    assert k % block_k == 0 and (block_k % 128 == 0 or interpret_mode()), \
+        (k, block_k)
     k_tiles = k // block_k
 
     rstd, qdiv, qoff, outsc = _row_stats(
