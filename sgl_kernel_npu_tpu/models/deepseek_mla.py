@@ -250,8 +250,15 @@ def pretile_mla_weights(params, cfg: MlaConfig, block_n: int = None):
         "wo": {"q": tile(lay["wo"]["q"])[0], "scale": lay["wo"]["scale"]},
         "w13": {"q": tile(w13_pad)[0], "scale": w13s_pad},
         "w2": {"q": tile(w2_pad)[0], "scale": lay["w2"]["scale"]},
+        # beyond-bf16: both einsums store the CONTRACTED axis LAST so XLA's
+        # batched dot consumes them directly — the natural [L,H,128,512] /
+        # [L,H,512,128] layouts cost a per-layer slice+transpose+relayout
+        # chain (~560 us/step in the 2026-08-20 MLA trace). Both layouts kept
+        # (the pair is ~170 MB) so SKT_WUKV_T can A/B on chip.
         "wuk": lay["wuk"].astype(jnp.bfloat16),
         "wuv": lay["wuv"].astype(jnp.bfloat16),
+        "wuk_t": jnp.transpose(lay["wuk"], (0, 1, 3, 2)).astype(jnp.bfloat16),
+        "wuv_t": jnp.transpose(lay["wuv"], (0, 1, 3, 2)).astype(jnp.bfloat16),
     }
     params["fast"] = fast
     return params
@@ -266,19 +273,24 @@ def _qmm_l(x, bank, li):
                                      out_dtype=x.dtype)
 
 
-def _nrq_l(x, norm_w, bank, li, eps):
-    """Fused RMSNorm -> per-token INT8 quant -> stacked GEMM (llama._nrq_l)."""
+def _nrq_l(x, norm_w, bank, li, eps, out_dtype=None):
+    """Fused RMSNorm -> per-token INT8 quant -> stacked GEMM (llama._nrq_l).
+
+    out_dtype=f32 for the w13 stage: its only consumer is the f32 SwiGLU, and
+    a bf16 output forced XLA to materialize a separate [B, 2f] f32 convert
+    pass (~690 us/step in the 2026-08-20 MLA trace)."""
+    od = out_dtype or x.dtype
     if use_pallas() and x.shape[0] >= 8 and env.env_bool("SKT_FUSED_RMSQ", True):
         from ..ops.rmsq_gemm import rmsnorm_quant_gemm
         beta = jnp.zeros((x.shape[-1],), jnp.float32)
         return rmsnorm_quant_gemm(
             x, norm_w, beta, bank["q"], bank["scale"], None, li=li,
-            quant_mode="per_token", eps=eps, out_dtype=x.dtype)
+            quant_mode="per_token", eps=eps, out_dtype=od)
     from ..ops.matmul import quant_matmul_int8_stacked
     xn = _rms(x, norm_w, eps)
     xq, xs = per_token_quant_int8(xn)
     return quant_matmul_int8_stacked(xq, bank["q"], li, xs, bank["scale"],
-                                     out_dtype=x.dtype)
+                                     out_dtype=od)
 
 
 def _rmsq_gemm_pt(x, gamma, beta, bank, li, qscale, qoffset, eps):
@@ -318,7 +330,7 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
     Returns (logits [B, V], kv_cache)."""
     from ..ops.attention.decode_mla_v2 import (append_mla_pallas,
                                                append_mla_ref,
-                                               decode_mla_pallas_v2_defer,
+                                               decode_mla_pallas_v3_defer,
                                                decode_mla_v2_ref)
 
     b = input_ids.shape[0]
@@ -356,13 +368,19 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
         q_out = q_out[:, : heads * (qn + kp)].reshape(b, heads, qn + kp)
         q_nope, q_pe = q_out[..., :qn], q_out[..., qn:]
 
-        # EinSum wuk (bf16 weight stream): [B, H, 128] x [H, 128, 512].
+        # EinSum wuk (bf16 weight stream): [B, H, 128] x [H, 512, 128] with
+        # the contraction axis last on both sides (see pretile's wuk_t note).
         # bf16 x bf16 -> f32 is the MXU-native form; the CPU test backend
         # lacks that dot, so off-TPU the operands upcast to f32.
         ed = jnp.bfloat16 if on_tpu() else jnp.float32
-        q_nope = jnp.einsum("bhd,hdk->bhk", q_nope.astype(ed),
-                            lp["wuk"].astype(ed),
-                            preferred_element_type=jnp.float32)
+        if wukv_t:
+            q_nope = jnp.einsum("bhd,hkd->bhk", q_nope.astype(ed),
+                                lp["wuk_t"].astype(ed),
+                                preferred_element_type=jnp.float32)
+        else:
+            q_nope = jnp.einsum("bhd,hdk->bhk", q_nope.astype(ed),
+                                lp["wuk"].astype(ed),
+                                preferred_element_type=jnp.float32)
 
         q_pe = mp.rotate_half_rope(q_pe, cos[:, None, :], sin[:, None, :])
         k_pe = mp.rotate_half_rope(k_pe, cos, sin)
@@ -376,7 +394,7 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, cpad)))
 
         if use_pallas():
-            att = decode_mla_pallas_v2_defer(
+            att = decode_mla_pallas_v3_defer(
                 q, new_latent, kv_cache, cached, block_table, sm_scale, ps,
                 lkv, layer_idx=li)
         else:
@@ -384,21 +402,32 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
                 q, kv_cache, new_latent, cached, block_table, sm_scale, ps,
                 lkv, layer_idx=li)
 
-        att = jnp.einsum("bhk,hkd->bhd", att.astype(ed),
-                         lp["wuv"].astype(ed),
-                         preferred_element_type=jnp.float32)
+        if wukv_t:
+            att = jnp.einsum("bhk,hdk->bhd", att.astype(ed),
+                             lp["wuv_t"].astype(ed),
+                             preferred_element_type=jnp.float32)
+        else:
+            att = jnp.einsum("bhk,hkd->bhd", att.astype(ed),
+                             lp["wuv"].astype(ed),
+                             preferred_element_type=jnp.float32)
         x = x + _qmm_l(att.reshape(b, -1).astype(x.dtype), fast["wo"], li)
 
-        ug = _nrq_l(x, lp["post_norm"], fast["w13"], li, cfg.rms_eps)
-        g32 = ug.astype(jnp.float32)
+        w13_od = (jnp.float32 if env.env_bool("SKT_W13_F32", True) else None)
+        g32 = _nrq_l(x, lp["post_norm"], fast["w13"], li, cfg.rms_eps,
+                     out_dtype=w13_od).astype(jnp.float32)
         act = (g32[:, :f_pad] * jax.nn.sigmoid(g32[:, :f_pad])
                * g32[:, f_pad:]).astype(x.dtype)
         x = x + _qmm_l(act, fast["w2"], li)
         return (x, li + 1), new_latent
 
+    wukv_t = env.env_bool("SKT_WUKV_T", True)
     small_scan = dict(small)
-    small_scan["wuk"] = fast["wuk"]
-    small_scan["wuv"] = fast["wuv"]
+    if wukv_t:
+        small_scan["wuk_t"] = fast["wuk_t"]
+        small_scan["wuv_t"] = fast["wuv_t"]
+    else:
+        small_scan["wuk"] = fast["wuk"]
+        small_scan["wuv"] = fast["wuv"]
     (x, _), new_all = jax.lax.scan(layer, (x, jnp.int32(0)), small_scan)
 
     pages_b = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)

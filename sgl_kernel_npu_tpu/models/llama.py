@@ -276,7 +276,7 @@ def _qmm_l(x, bank, li):
                                      out_dtype=x.dtype)
 
 
-def _nrq_l(x, norm_w, bank, li, eps):
+def _nrq_l(x, norm_w, bank, li, eps, out_dtype=None):
     """Fused RMSNorm -> per-token INT8 quant -> W8A8 GEMM at layer li
     (ops/rmsq_gemm.py — the perf tier of the reference's RMSNormQuant->GEMM
     core, mla_preprocess_kernel.cpp:140-236): the normalized int8 activation
@@ -285,15 +285,20 @@ def _nrq_l(x, norm_w, bank, li, eps):
 
     Requires a pre-tiled 4-D bank (pretile_big_weights); falls back to the
     unfused pair off-pallas, for untiled banks, or under SKT_FUSED_RMSQ=0
-    (the on-chip A/B switch)."""
+    (the on-chip A/B switch).
+
+    out_dtype=f32 for the w13 stage: its only consumer is the f32 SwiGLU —
+    a bf16 output makes XLA materialize a separate [B, 2f] f32 convert pass
+    (~690 us/step on the MLA twin of this pattern, trace 2026-08-20)."""
     if (use_pallas() and bank["q"].ndim == 4 and x.shape[0] >= 8
             and env.env_bool("SKT_FUSED_RMSQ", True)):
         from ..ops.rmsq_gemm import rmsnorm_quant_gemm
         beta = jnp.zeros((x.shape[-1],), jnp.float32)
         return rmsnorm_quant_gemm(
             x, norm_w, beta, bank["q"], bank["scale"], None, li=li,
-            quant_mode="per_token", eps=eps, out_dtype=x.dtype)
-    return _qmm_l(_rmsnorm(x, norm_w, eps), bank, li)
+            quant_mode="per_token", eps=eps, out_dtype=out_dtype or x.dtype)
+    out = _qmm_l(_rmsnorm(x, norm_w, eps), bank, li)
+    return out.astype(out_dtype) if out_dtype else out
 
 
 def _final_logits(x, params, cfg):
@@ -383,9 +388,13 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
                 shrunk, lp["lora_wo_B"], lora_ids, wo_out, 0,
                 wo_out.shape[-1])
         x = x + _reduce(wo_out)
-        ug = _nrq_l(x, lp["post_norm"], big["w13"], li, cfg.rms_eps)
+        # SKT_W13_F32: emit f32 from the fused w13 kernel (saves a separate
+        # convert pass IF XLA materializes one — A/B per model; the MLA trace
+        # showed a 690 us convert, llama's fused differently)
+        w13_od = jnp.float32 if env.env_bool("SKT_W13_F32", False) else None
+        g32 = _nrq_l(x, lp["post_norm"], big["w13"], li, cfg.rms_eps,
+                     out_dtype=w13_od).astype(jnp.float32)
         f = cfg.intermediate_size
-        g32 = ug.astype(jnp.float32)
         act = (g32[:, :f] * jax.nn.sigmoid(g32[:, :f])
                * g32[:, f:]).astype(x.dtype)
         x = x + _reduce(_q_l(act, big["w2"], li))

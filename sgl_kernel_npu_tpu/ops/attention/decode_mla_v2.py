@@ -233,6 +233,177 @@ def decode_mla_pallas_v2_defer(q, new_latent, kv_cache, cached_lens,
       q, new_latent.astype(q.dtype)[:, None, :], kv_cache)
 
 
+GROUP = int(__import__("os").environ.get("SKT_MLA_G", "8"))
+NBUF_G = int(__import__("os").environ.get("SKT_MLA_G_NBUF", "2"))
+
+
+def _kernel_mla_v3(seq_ref, bt_ref, li_ref, q_ref, new_ref, kv_hbm, out_ref,
+                   kvbuf, acc_ref, m_ref, l_ref, sems,
+                   *, page_size, sm_scale, lkv, max_pages, batch, cp, gsz):
+    ps = page_size
+    h = q_ref.shape[1]
+    c = q_ref.shape[2]
+    nc = pl.cdiv(max_pages, cp)
+    ngroups = batch // gsz
+    total = ngroups * nc
+
+    def dma_group(slot, s, start):
+        grp = s // nc
+        ch = s - grp * nc
+        for g in range(gsz):
+            b = grp * gsz + g
+            clen = seq_ref[b]
+            for j in range(cp):
+                p = ch * cp + j
+
+                @pl.when(p * ps < clen)
+                def _one(p=p, j=j, g=g, b=b):
+                    page = bt_ref[b, p]
+                    copy = pltpu.make_async_copy(
+                        kv_hbm.at[li_ref[0], page],
+                        kvbuf.at[slot, g, pl.ds(j * ps, ps), :],
+                        sems.at[slot, g, j])
+                    copy.start() if start else copy.wait()
+
+                if start:
+                    @pl.when(p * ps >= clen)
+                    def _zero(j=j, g=g):
+                        kvbuf[slot, g, pl.ds(j * ps, ps), :] = jnp.zeros(
+                            (ps, c), kvbuf.dtype)
+
+    def valid(s):
+        # a group step is live if ANY member still has pages; per-member
+        # DMAs gate themselves
+        ch = s - (s // nc) * nc
+        return ch < nc
+
+    for s0 in range(min(NBUF_G, total)):
+        dma_group(s0 % NBUF_G, jnp.int32(s0), True)
+
+    def clen_rows(grp):
+        return jnp.concatenate(
+            [jnp.full((h, 1), seq_ref[grp * gsz + g], jnp.int32)
+             for g in range(gsz)], 0)                      # [gsz*h, 1]
+
+    def body(s, _):
+        grp = s // nc
+        ch = s - grp * nc
+        slot = jax.lax.rem(s, NBUF_G)
+
+        @pl.when(ch == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+        dma_group(slot, s, False)
+        qg = q_ref[pl.ds(grp * gsz, gsz)].astype(jnp.bfloat16)   # [g, h, c]
+        kv = kvbuf[slot].astype(jnp.bfloat16)            # [g, cp*ps, c]
+        sc = jax.lax.dot_general(
+            qg, kv, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [g, h, cp*ps]
+        sc = sc.reshape(gsz * h, cp * ps)
+        col = ch * (cp * ps) + jax.lax.broadcasted_iota(
+            jnp.int32, sc.shape, 1)
+        sc = jnp.where(col < clen_rows(grp), sc * sm_scale, _NEG_INF)
+        m_prev = m_ref[...]
+        mh = jnp.maximum(m_prev, jnp.max(sc, -1, keepdims=True))
+        alpha = jnp.exp(m_prev - mh)
+        pexp = jnp.exp(sc - mh)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, -1, keepdims=True)
+        o = jax.lax.dot_general(
+            pexp.reshape(gsz, h, cp * ps).astype(jnp.bfloat16), kv[:, :, :lkv],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [g, h, lkv]
+        acc_ref[...] = acc_ref[...] * alpha + o.reshape(gsz * h, lkv)
+        m_ref[...] = mh
+
+        @pl.when((s + NBUF_G < total) & valid(s + NBUF_G))
+        def _issue():
+            dma_group(slot, s + NBUF_G, True)
+
+        @pl.when(ch == nc - 1)
+        def _fin():
+            qg2 = q_ref[pl.ds(grp * gsz, gsz)].astype(jnp.float32)
+            nrow = new_ref[pl.ds(grp * gsz, gsz)].astype(jnp.float32)
+            s_new = jnp.sum(qg2 * nrow, -1).reshape(gsz * h, 1) * sm_scale
+            m_prev2 = m_ref[...]
+            mh2 = jnp.maximum(m_prev2, s_new)
+            alpha2 = jnp.exp(m_prev2 - mh2)
+            pexp2 = jnp.exp(s_new - mh2)
+            l_fin = l_ref[...] * alpha2 + pexp2
+            o_new = (pexp2.reshape(gsz, h, 1)
+                     * nrow[:, :, :lkv]).reshape(gsz * h, lkv)
+            out = (acc_ref[...] * alpha2 + o_new) / jnp.maximum(l_fin, 1e-37)
+            out_ref[pl.ds(grp * gsz, gsz)] = out.reshape(
+                gsz, h, lkv).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+def decode_mla_pallas_v3_defer(q, new_latent, kv_cache, cached_lens,
+                               block_table, sm_scale, page_size, lkv,
+                               layer_idx=0, chunk_pages=None, group=None):
+    """Group-batched combined-cache MLA decode: G sequences per fori step.
+
+    v2 at the bench dims ran 128 one-sequence iterations per layer whose
+    scalar bookkeeping + single-wait-group DMA pipelining left the stream at
+    ~64% of the page-fetch floor (trace 2026-08-20: 120.7 us/call vs ~77
+    floor). v3 fetches G sequences' pages per step (G*cp DMAs, one ring
+    slot), scores them as ONE batched [G, h, c] x [G, cp*ps, c] MXU dot, and
+    runs the online softmax on a [G*h, cp*ps] matrix — 1/G the iterations,
+    the same bytes. Same contract as decode_mla_pallas_v2_defer."""
+    b, h, c = q.shape
+    l, num_pages, ps, c2 = kv_cache.shape
+    assert c2 == c and ps == page_size
+    max_pages = block_table.shape[1]
+    cp = min(max_pages, chunk_pages or CHUNK_PAGES)
+    gsz = group or GROUP
+    while b % gsz:
+        gsz //= 2
+    if gsz <= 1:
+        return decode_mla_pallas_v2_defer(
+            q, new_latent, kv_cache, cached_lens, block_table, sm_scale,
+            page_size, lkv, layer_idx=layer_idx, chunk_pages=chunk_pages)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b, h, c), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((b, 1, c), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((b, h, lkv), lambda i, *_: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF_G, gsz, cp * ps, c), kv_cache.dtype),
+            pltpu.VMEM((gsz * h, lkv), jnp.float32),
+            pltpu.VMEM((gsz * h, 1), jnp.float32),
+            pltpu.VMEM((gsz * h, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF_G, gsz, cp)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_kernel_mla_v3, page_size=page_size, sm_scale=sm_scale,
+                lkv=lkv, max_pages=max_pages, batch=b, cp=cp, gsz=gsz),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, lkv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * max_pages * ps * (c + lkv),
+            bytes_accessed=b * max_pages * ps * c * 2,
+            transcendentals=b * h * max_pages * ps,
+        ),
+        interpret=interpret_mode(),
+    )(jnp.maximum(cached_lens, 0).astype(jnp.int32),
+      block_table.astype(jnp.int32),
+      jnp.asarray(layer_idx, jnp.int32)[None],
+      q, new_latent.astype(q.dtype)[:, None, :], kv_cache)
+
+
 ALIGN = 8   # Mosaic ps-dim row-slice alignment (decode_v8 chip probe)
 RING = int(__import__("os").environ.get("SKT_MLA_APPEND_RING", "4"))
 

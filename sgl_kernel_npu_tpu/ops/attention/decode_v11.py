@@ -46,7 +46,12 @@ from .decode_v6 import _finalize_rows
 
 _NEG_INF = -1e30
 NBUF = int(__import__("os").environ.get("SKT_V11_NBUF", "4"))
-SUB = int(__import__("os").environ.get("SKT_V12_SUB", "128"))
+# live-only sub-chunk fetch granularity (tokens). Default 0 = whole-page
+# DMAs: the first chip A/B (2026-08-20, ps=512 bs128) measured the 128-token
+# sub-chunking a net LOSS (6680 -> ~6500 class): the ~28% dead-byte saving
+# did not cover 4x the DMA issue/wait pairs. Kept for configs with much
+# larger dead fractions (set SKT_V12_SUB=128).
+SUB = int(__import__("os").environ.get("SKT_V12_SUB", "0"))
 
 
 def _kernel_v11_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
@@ -174,8 +179,8 @@ def decode_gqa_pallas_v11_int8_defer(q, k_new, v_new, k_cache, v_cache,
     g = hq // hkv
     max_pages = block_table.shape[1]
     # live-only sub-chunk fetch granularity: SUB tokens (8-aligned static
-    # offsets; nsub=1 restores whole-page DMAs for small pages)
-    nsub = max(1, ps // SUB) if ps % SUB == 0 else 1
+    # offsets; nsub=1 = whole-page DMAs, the measured default)
+    nsub = max(1, ps // SUB) if SUB and ps % SUB == 0 else 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

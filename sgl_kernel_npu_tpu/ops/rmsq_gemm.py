@@ -49,9 +49,13 @@ from ..utils import cdiv, interpret_mode
 
 
 def _rmsq_kernel(eid_ref, x_hbm, g_ref, b_ref, rs_ref, qs_ref, qo_ref,
-                 os_ref, w_ref, ds_ref, bias_ref, out_ref,
-                 acc_ref, xq_ref, xraw_ref, xsem, *, k_tiles, block_k, tiled,
-                 fp16_cast):
+                 os_ref, w_ref, ds_ref, *rest,
+                 k_tiles, block_k, tiled, fp16_cast, has_bias):
+    if has_bias:
+        bias_ref, out_ref, acc_ref, xq_ref, xraw_ref, xsem = rest
+    else:
+        out_ref, acc_ref, xq_ref, xraw_ref, xsem = rest
+        bias_ref = None
     i = pl.program_id(0)
     j = pl.program_id(1)
     kk = pl.program_id(2)
@@ -106,8 +110,10 @@ def _rmsq_kernel(eid_ref, x_hbm, g_ref, b_ref, rs_ref, qs_ref, qo_ref,
     @pl.when(kk == k_tiles - 1)
     def _():
         ds = (ds_ref[0, 0] if tiled else ds_ref[0]).astype(jnp.float32)
-        bias = bias_ref[0, 0] if tiled else bias_ref[0]
-        out = (acc_ref[...] + bias).astype(jnp.float32) * ds * os_ref[...]
+        acc = acc_ref[...]
+        if has_bias:
+            acc = acc + (bias_ref[0, 0] if tiled else bias_ref[0])
+        out = acc.astype(jnp.float32) * ds * os_ref[...]
         out_ref[...] = out.astype(out_ref.dtype)
 
 
@@ -161,20 +167,23 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
     assert quant_cast in ("f32", "fp16"), quant_cast
     m, k = x.shape
     tiled = w.ndim == 4
+    has_bias = bias is not None   # bias-less callers skip the operand: a
+    # zeros placeholder materialized a [L, 1, N] broadcast per call (~100
+    # us/step in the 2026-08-20 MLA trace)
     if tiled:
         l, nb, _, bn = w.shape
         n = nb * bn
         assert w.shape[2] == k, (w.shape, k)
         descale = descale.reshape(l, 1, n)
-        bias = (jnp.zeros((l, 1, n), jnp.int32) if bias is None
-                else bias.reshape(l, 1, n).astype(jnp.int32))
+        if has_bias:
+            bias = bias.reshape(l, 1, n).astype(jnp.int32)
     else:
         assert w.shape[0] == k, (w.shape, k)
         n = w.shape[1]
         bn = min(block_n, n)
         descale = descale.reshape(1, n)
-        bias = (jnp.zeros((1, n), jnp.int32) if bias is None
-                else bias.reshape(1, n).astype(jnp.int32))
+        if has_bias:
+            bias = bias.reshape(1, n).astype(jnp.int32)
         li = jnp.int32(0)
 
     block_m = min(block_m, m)
@@ -205,21 +214,27 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
     else:
         w_spec = pl.BlockSpec((block_k, bn), lambda i, j, kk, eid: (kk, j))
         ds_spec = pl.BlockSpec((1, bn), lambda i, j, kk, eid: (0, j))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),   # x: staged at j==0 only
+        pl.BlockSpec((1, block_k), lambda i, j, kk, eid: (0, kk)),
+        pl.BlockSpec((1, block_k), lambda i, j, kk, eid: (0, kk)),
+        pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
+        pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
+        pl.BlockSpec((1, 1), lambda i, j, kk, eid: (0, 0)),
+        pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
+        w_spec,
+        ds_spec,
+    ]
+    operands = [gamma.astype(jnp.float32).reshape(1, k),
+                beta.astype(jnp.float32).reshape(1, k), rstd, qdiv, qoff,
+                outsc, w, descale.astype(jnp.float32)]
+    if has_bias:
+        in_specs.append(ds_spec)
+        operands.append(bias)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x: staged at j==0 only
-            pl.BlockSpec((1, block_k), lambda i, j, kk, eid: (0, kk)),
-            pl.BlockSpec((1, block_k), lambda i, j, kk, eid: (0, kk)),
-            pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
-            pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i, j, kk, eid: (0, 0)),
-            pl.BlockSpec((block_m, 1), lambda i, j, kk, eid: (i, 0)),
-            w_spec,
-            ds_spec,
-            ds_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, bn), lambda i, j, kk, eid: (i, j)),
         scratch_shapes=[pltpu.VMEM((block_m, bn), jnp.int32),
                         pltpu.VMEM((k_tiles, block_m, block_k), jnp.int8),
@@ -230,7 +245,7 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
     x_pad = jnp.pad(x, ((0, m_pad - m), (0, 0))) if m_pad != m else x
     return pl.pallas_call(
         partial(_rmsq_kernel, k_tiles=k_tiles, block_k=block_k, tiled=tiled,
-                fp16_cast=(quant_cast == "fp16")),
+                fp16_cast=(quant_cast == "fp16"), has_bias=has_bias),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -242,9 +257,7 @@ def rmsnorm_quant_gemm(x, gamma, beta, w, descale, bias=None,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
-    )(tile_map, x_pad, gamma.astype(jnp.float32).reshape(1, k),
-      beta.astype(jnp.float32).reshape(1, k), rstd, qdiv, qoff, outsc,
-      w, descale.astype(jnp.float32), bias)
+    )(tile_map, x_pad, *operands)
 
 
 def rmsnorm_quant_gemm_ref(x, gamma, beta, w_kn, descale, bias=None,

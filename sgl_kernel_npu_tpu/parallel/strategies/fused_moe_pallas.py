@@ -212,6 +212,8 @@ def _fused_kernel(
             def _():
                 w_start(w13_ref, e, 0, 0, 0)
 
+            slot_o = jax.lax.rem(e * m_tiles + mt, 2)
+
             # alignment-proof wrap on every SMEM/traced-derived ds offset
             # (Mosaic rejects unprovably-aligned dynamic DMA slices)
             row0 = ((e * rows_per_e + mt * bm) // CHUNK) * CHUNK
@@ -231,6 +233,10 @@ def _fused_kernel(
             gemm(w13_ref, w13s_ref, act_buf, k1_tiles, n1_tiles, e,
                  store_ug, asc_buf[:, 0:1])
 
+            # ---- GMM2's first weight tile streams DURING the SwiGLU (both
+            # wbuf slots are idle once GMM1's n_loop returns)
+            w_start(w2_ref, e, 0, 0, 0)
+
             # ---- SwiGLU + per-token re-quant -> act2 int8 [bm, F]
             g = ug_buf[:, pl.ds(0, f)]
             u = ug_buf[:, pl.ds(f, f)]
@@ -240,16 +246,21 @@ def _fused_kernel(
             act2_buf[...] = jnp.clip(jnp.round(act / sc2),
                                      -128, 127).astype(jnp.int8)
 
-            # ---- GMM2 -> out_buf [bm, H] bf16 (new preload chain)
-            w_start(w2_ref, e, 0, 0, 0)
+            # out_buf slot reuse: drain the back-sends issued from this slot
+            # two (e, mt) steps ago BEFORE overwriting it (phase-C sends are
+            # fire-and-forget otherwise — VERDICT r4 next-5's "don't
+            # wait_send inline")
+            drain_back(e * m_tiles + mt - 2)
 
             def store_out(nt, deq):
-                out_buf[:, pl.ds(nt * bn, bn)] = deq.astype(out_buf.dtype)
+                out_buf[slot_o, :, pl.ds(nt * bn, bn)] = deq.astype(
+                    out_buf.dtype)
 
             gemm(w2_ref, w2s_ref, act2_buf, k2_tiles, n2_tiles, e,
                  store_out, sc2)
 
-            # ---- phase C: return valid rows straight from VMEM.
+            # ---- phase C: return valid rows straight from VMEM, ASYNC —
+            # the waits happen at this slot's next reuse (drain_back).
             # CHUNK-aligned rows never straddle a source's maxT region
             # (maxt % CHUNK == 0), so each chunk has ONE source.
             def back_rows(c, ___):
@@ -262,14 +273,12 @@ def _fused_kernel(
                 def _send():
                     boff = ((back_off_ref[src * el + e] + within)
                             // CHUNK) * CHUNK
-                    bd = pltpu.make_async_remote_copy(
-                        src_ref=out_buf.at[pl.ds(c * CHUNK, CHUNK), :],
+                    pltpu.make_async_remote_copy(
+                        src_ref=out_buf.at[slot_o, pl.ds(c * CHUNK, CHUNK), :],
                         dst_ref=back_ref.at[pl.ds(boff, CHUNK), :],
                         send_sem=b_send_sem, recv_sem=b_recv_sem,
                         device_id=src,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL)
-                    bd.start()
-                    bd.wait_send()
+                        device_id_type=pltpu.DeviceIdType.LOGICAL).start()
                 return ___
 
             jax.lax.fori_loop(0, bm // CHUNK, back_rows, 0)
@@ -278,7 +287,39 @@ def _fused_kernel(
         jax.lax.fori_loop(0, m_tiles, m_tile, 0)
         return _
 
+    def drain_back(step):
+        """wait_send for every back-DMA issued at (e, mt) = divmod(step):
+        the same conditionals re-walked, waits instead of starts."""
+        @pl.when(step >= 0)
+        def _():
+            e = step // m_tiles
+            mt = step - e * m_tiles
+            slot_o = jax.lax.rem(step, 2)
+
+            def wrows(c, ___):
+                row_in_e = mt * bm + c * CHUNK
+                src = row_in_e // maxt
+                within = row_in_e - src * maxt
+                cnt_src = recv_cnt_ref[src * el + e]
+
+                @pl.when(within < cnt_src)
+                def _wait():
+                    boff = ((back_off_ref[src * el + e] + within)
+                            // CHUNK) * CHUNK
+                    pltpu.make_async_remote_copy(
+                        src_ref=out_buf.at[slot_o, pl.ds(c * CHUNK, CHUNK), :],
+                        dst_ref=back_ref.at[pl.ds(boff, CHUNK), :],
+                        send_sem=b_send_sem, recv_sem=b_recv_sem,
+                        device_id=src,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL).wait_send()
+                return ___
+
+            jax.lax.fori_loop(0, bm // CHUNK, wrows, 0)
+
     jax.lax.fori_loop(0, el, expert, 0)
+    # drain the last two slots' outstanding back-sends
+    drain_back(el * m_tiles - 2)
+    drain_back(el * m_tiles - 1)
 
     # ---------------- phase W: my dispatched rows come back processed
     def wait_back(i, _):
@@ -286,7 +327,7 @@ def _fused_kernel(
 
         def wc(c, __):
             pltpu.make_async_remote_copy(
-                src_ref=out_buf.at[pl.ds(0, CHUNK), :],
+                src_ref=out_buf.at[0, pl.ds(0, CHUNK), :],
                 dst_ref=back_ref.at[pl.ds(0, CHUNK), :],
                 send_sem=b_send_sem, recv_sem=b_recv_sem,
                 device_id=i // el,
@@ -348,10 +389,14 @@ def fused_deep_moe_pallas_shard(
     bm = min(128, r * maxt)
     while (r * maxt) % bm:
         bm //= 2
-    bk = min(512, h)
+    # 1024-square weight tiles (r5): the 512 tiles left the kernel at 290
+    # GB/s — 168 tile iterations/expert of ~0.3 us DMA each drowned in
+    # per-iteration scalar overhead. 4x the tile bytes quarters the
+    # iteration count; VMEM: wbuf 2x1 MB + acc 128x1024 int32 0.5 MB.
+    bk = min(1024, h)
     while h % bk or f % bk:
         bk //= 2
-    bn = min(512, min(h, f2))
+    bn = min(1024, min(h, f2))
     while h % bn or f2 % bn:
         bn //= 2
     assert bm % CHUNK == 0 or bm < CHUNK, (bm, CHUNK)
@@ -382,7 +427,8 @@ def fused_deep_moe_pallas_shard(
                 pltpu.VMEM((bm, f2), jnp.float32),         # ug_buf
                 pltpu.VMEM((bm, f), jnp.int8),             # act2_buf
                 pltpu.VMEM((bm, bn), jnp.int32),           # acc
-                pltpu.VMEM((bm, h), jnp.bfloat16),         # out_buf
+                pltpu.VMEM((2, bm, h), jnp.bfloat16),      # out_buf (2 slots
+                # so phase-C sends of step i-2 drain while step i computes)
                 pltpu.SemaphoreType.DMA(()),               # local
                 pltpu.SemaphoreType.DMA((2,)),             # weight slots
                 pltpu.SemaphoreType.DMA(()),               # payload send

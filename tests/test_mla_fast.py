@@ -119,3 +119,23 @@ def test_mla_fast_decode_matches_slow(rng, monkeypatch, impl):
     kvc_np = np.asarray(kvc, np.float32)
     assert calc_diff(kvc_np[..., :c], comb) < 2e-3
     assert np.abs(kvc_np[..., c:]).sum() == 0
+
+
+def test_decode_mla_v3_grouped_vs_ref(rng, monkeypatch):
+    """Group-batched kernel (G sequences per step) vs the XLA twin, at G
+    dividing and not dividing the batch (fallback path)."""
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    q, new, cache, cached, bt, ps, lkv = _mk_case(rng, b=8)
+    for g in (4, 2, 8):
+        out = v2.decode_mla_pallas_v3_defer(
+            q, new, cache, cached, bt, 0.1, ps, lkv, layer_idx=1, group=g)
+        ref = v2.decode_mla_v2_ref(
+            q, cache, new, cached, bt, 0.1, ps, lkv, layer_idx=1)
+        assert calc_diff(out, ref) < 1e-4, (g, calc_diff(out, ref))
+    # odd batch falls back to the per-sequence kernel
+    q5, new5, cache5, cached5, bt5 = (a[:5] for a in (q, new, cache, cached,
+                                                      bt))
+    out = v2.decode_mla_pallas_v3_defer(
+        q5, new5, cache, cached5, bt5, 0.1, ps, lkv, group=8)
+    ref = v2.decode_mla_v2_ref(q5, cache, new5, cached5, bt5, 0.1, ps, lkv)
+    assert calc_diff(out, ref) < 1e-4
