@@ -420,7 +420,12 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
         x = x + _qmm_l(act, fast["w2"], li)
         return (x, li + 1), new_latent
 
-    wukv_t = env.env_bool("SKT_WUKV_T", True)
+    # default OFF: the contracted-axis-last layouts removed the ~460 us
+    # relayout chain but made XLA's memory-space assignment emit a 113 MB
+    # per-LAYER async copy of the wo bank (3.0 ms/step, trace3 vs trace2
+    # 2026-08-20) — net 10.47k -> 9.91k tok/s. With the natural layouts the
+    # relayout cost returns but the prefetch pathology vanishes: 11.69k.
+    wukv_t = env.env_bool("SKT_WUKV_T", False)
     small_scan = dict(small)
     if wukv_t:
         small_scan["wuk_t"] = fast["wuk_t"]
