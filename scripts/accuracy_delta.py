@@ -105,10 +105,12 @@ def main():
                 f"{m['kl_max']:.4f} | {m['greedy_agreement']*100:.1f}% |")
         lines += [
             "",
-            "Gates (tests/test_accuracy_delta.py): Δppl ≤ 2%, mean KL ≤ 0.02,",
-            "greedy agreement ≥ 95% on the tiny-config twin of this sweep.",
-            "`tests/test_accuracy_vs_hf.py` un-skips on top when checkpoints",
-            "become available.",
+            "Gates (tests/test_accuracy_delta.py): Δppl ≤ 2%, mean KL ≤ 0.02",
+            "(0.05 for the per-tensor MLA path), greedy agreement ≥ 85%/80% —",
+            "the greedy gate is loose because random weights give",
+            "near-uniform logits whose argmax flips on ties even at KL ~1e-3;",
+            "the KL/ppl gates carry the signal. `tests/test_accuracy_vs_hf.py`",
+            "un-skips on top when checkpoints become available.",
         ]
         with open(args.out, "w") as f:
             f.write("\n".join(lines) + "\n")

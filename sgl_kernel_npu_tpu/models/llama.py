@@ -543,10 +543,20 @@ def decode_step_kv(params, cfg: LlamaConfig, kv_cache,
         bt_l = block_table + li * pages_per_layer
         cached = seq_lens - 1     # tokens already in the cache
         if is_tm2:
-            att = _v11.decode_gqa_pallas_v11_int8_defer(
-                q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
-                kv_cache["vs"], cached, block_table, sm_scale, ps,
-                layer_idx=li)
+            # v13 (group-batched live-fetch) vs v11 (per-sequence whole-page):
+            # SKT_DECODE_ATTN_TM2
+            if env.env_str("SKT_DECODE_ATTN_TM2", "v13") == "v13":
+                from ..ops.attention.decode_v13 import \
+                    decode_gqa_pallas_v13_int8_defer
+                att = decode_gqa_pallas_v13_int8_defer(
+                    q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
+                    kv_cache["vs"], cached, block_table, sm_scale, ps,
+                    layer_idx=li)
+            else:
+                att = _v11.decode_gqa_pallas_v11_int8_defer(
+                    q, k, v, kv_cache["k"], kv_cache["v"], kv_cache["ks"],
+                    kv_cache["vs"], cached, block_table, sm_scale, ps,
+                    layer_idx=li)
             (x2, _, li2), _ = ffn_tail(x, att, lp, None, li)
             return (x2, li2), (k, v)
         if is_tm:

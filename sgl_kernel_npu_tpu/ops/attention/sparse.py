@@ -199,7 +199,9 @@ def _topk_blk_kernel(idx_ref, q_ref, k_hbm, v_hbm, mask_hbm, out_ref,
         v2 = vbuf[slot].astype(jnp.float32)
         sc = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        valid = mbuf[slot][0:1, :] > 0                     # [1, rows]
+        # int32 compare: the v5e VPU has no int8 vector cmpi ("Target does
+        # not support this comparison", chip repro 2026-08-21) — widen first
+        valid = mbuf[slot][0:1, :].astype(jnp.int32) > 0   # [1, rows]
         sc = jnp.where(valid, sc * sm_scale, _NEG_INF)
 
         m_new = jnp.maximum(m_ref[...], jnp.max(sc, -1, keepdims=True))

@@ -398,3 +398,64 @@ def test_decode_tm2_matches_tm(rng, monkeypatch):
         outs[layout] = np.asarray(logits)
     d = np.abs(outs["tm"] - outs["tm2"]).max()
     assert d < 2e-2, d
+
+
+def test_decode_v13_grouped_live_fetch(rng, monkeypatch):
+    """v13 (group-batched + live-only sub-fetch) vs the int8-KV reference, at
+    several group sizes and mixed seq lens incl. page boundaries and a
+    zero-prefix member (only the folded current token contributes there)."""
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    from sgl_kernel_npu_tpu.ops.attention import decode_v13 as v13
+    from sgl_kernel_npu_tpu.ops.attention import decode_v8 as v8
+
+    b, hq, hkv, d, ps, mp_ = 8, 8, 4, 32, 16, 3
+    layers = 2
+    num_pages = b * mp_ + 1
+    q = jnp.array(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    kn = jnp.array(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    vn = jnp.array(rng.standard_normal((b, hkv, d)), jnp.bfloat16)
+    kc = jnp.array(rng.integers(-127, 128, (layers, num_pages, hkv, ps, d)),
+                   jnp.int8)
+    vc = jnp.array(rng.integers(-127, 128, (layers, num_pages, hkv, ps, d)),
+                   jnp.int8)
+    ks = jnp.array(rng.random((layers, num_pages, hkv, ps)) * 0.02 + 0.001,
+                   jnp.float32)
+    vs = jnp.array(rng.random((layers, num_pages, hkv, ps)) * 0.02 + 0.001,
+                   jnp.float32)
+    bt = jnp.array(rng.permutation(num_pages - 1)[: b * mp_]
+                   .reshape(b, mp_) + 1, jnp.int32)
+    cached = jnp.array([0, 1, ps, ps + 1, 2 * ps, 17, 30, mp_ * ps],
+                       jnp.int32)
+
+    def ref(li):
+        # dense dequantized reference over the head-major pages
+        kf = (kc[li].astype(np.float32)
+              * np.asarray(ks[li])[:, :, :, None])[np.asarray(bt)]
+        vf = (vc[li].astype(np.float32)
+              * np.asarray(vs[li])[:, :, :, None])[np.asarray(bt)]
+        # [b, mp, hkv, ps, d] -> [b, hkv, mp*ps, d]
+        kf = np.transpose(kf, (0, 2, 1, 3, 4)).reshape(b, hkv, mp_ * ps, d)
+        vf = np.transpose(vf, (0, 2, 1, 3, 4)).reshape(b, hkv, mp_ * ps, d)
+        g = hq // hkv
+        qf = np.asarray(q, np.float32).reshape(b, hkv, g, d)
+        knf = np.asarray(kn, np.float32)
+        vnf = np.asarray(vn, np.float32)
+        outs = []
+        for bb in range(b):
+            n = int(cached[bb])
+            kk = np.concatenate([kf[bb, :, :n], knf[bb][:, None]], 1)
+            vv = np.concatenate([vf[bb, :, :n], vnf[bb][:, None]], 1)
+            s = np.einsum("hgd,hnd->hgn", qf[bb], kk) * 0.13
+            p = np.exp(s - s.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            outs.append(np.einsum("hgn,hnd->hgd", p, vv).reshape(hq, d))
+        return np.stack(outs)
+
+    for li in range(layers):
+        for grp in (4, 2):
+            out = v13.decode_gqa_pallas_v13_int8_defer(
+                q, kn, vn, kc, vc, ks, vs, cached, bt, 0.13, ps,
+                layer_idx=li, group=grp)
+            from .utils import calc_diff
+            assert calc_diff(np.asarray(out, np.float32),
+                             ref(li)) < 1e-3, (li, grp)
