@@ -306,7 +306,10 @@ def run_bench_mla(args):
     ids0 = jnp.array(rng.integers(0, cfg.vocab_size, batch), jnp.int32)
 
     if fast:
-        kvc = dm.init_kv_cache_combined(cfg, num_pages)
+        # SKT_MLA_KV: bf16 | int8 latent rows (int8 = the reference's
+        # quantized-latent cache_mode 2, halving the dominant KV stream)
+        kv_quant = os.environ.get("SKT_MLA_KV", "int8")
+        kvc = dm.init_kv_cache_combined(cfg, num_pages, quant=kv_quant)
 
         def run_steps_fast(params, kvc, ids, pos):
             def body(_, carry):
@@ -350,8 +353,17 @@ def run_bench_mla(args):
                   + cfg.intermediate_size * h) + h * cfg.vocab_size
     w_f32 = l * (heads * cfg.qk_nope_dim * cfg.kv_lora_rank
                  + heads * cfg.kv_lora_rank * cfg.v_head_dim) * 4
-    kv_per_tok = l * (cfg.kv_lora_rank + cfg.qk_rope_dim) * 2 \
-        * (ctx + total_new // 2)
+    # KV bytes/token by the STORED layout: bf16 latent = 2 B/elt; the fast
+    # path's combined cache pads the row to a lane multiple, and the int8
+    # mode stores 1 B/elt + a 4 B/token scale — the roofline is honest for
+    # the measured configuration
+    if fast:
+        row_elts = dm.combined_width(cfg)
+        elt = 1 if os.environ.get("SKT_MLA_KV", "int8") == "int8" else 2
+        row_bytes = row_elts * elt + (4 if elt == 1 else 0)
+    else:
+        row_bytes = (cfg.kv_lora_rank + cfg.qk_rope_dim) * 2
+    kv_per_tok = l * row_bytes * (ctx + total_new // 2)
     roofline = props.hbm_gbps * 1e9 / ((w_int8 + w_f32) / batch + kv_per_tok)
     _emit("decode_tokens_per_s_per_chip_mla" + ("_smoke" if args.smoke else ""),
           batch / dt, roofline,

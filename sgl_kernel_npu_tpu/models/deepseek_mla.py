@@ -176,13 +176,22 @@ def combined_width(cfg: MlaConfig) -> int:
     return -(-(cfg.kv_lora_rank + cfg.qk_rope_dim) // 128) * 128
 
 
-def init_kv_cache_combined(cfg: MlaConfig, num_pages: int, dtype=jnp.bfloat16):
+def init_kv_cache_combined(cfg: MlaConfig, num_pages: int, dtype=jnp.bfloat16,
+                           quant: str = "bf16"):
     """COMBINED latent pages [L, P, ps, cpad] (ctkv | krope | zero pad) — the
     reference's cache_mode 0 "full" layout (csrc/mla_preprocess/README.md),
     chosen for the fast decode because one DMA then fetches a page's whole
-    latent row set (ops/attention/decode_mla_v2.py; see combined_width)."""
-    return jnp.zeros((cfg.num_layers, num_pages, cfg.page_size,
-                      combined_width(cfg)), dtype)
+    latent row set (ops/attention/decode_mla_v2.py; see combined_width).
+
+    quant="int8": the reference's quantized-latent mode (cache_mode 2,
+    int8_nzcache) mapped onto the combined layout — int8 rows with per-token
+    dynamic scales [L, P, 1, ps] f32, halving the KV stream."""
+    shape = (cfg.num_layers, num_pages, cfg.page_size, combined_width(cfg))
+    if quant == "int8":
+        return {"kv": jnp.zeros(shape, jnp.int8),
+                "s": jnp.zeros((cfg.num_layers, num_pages, 1, cfg.page_size),
+                               jnp.float32)}
+    return jnp.zeros(shape, dtype)
 
 
 _MLA_BIG = ("wdqkv", "wuq", "wo", "w13", "w2")
@@ -331,15 +340,21 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
     from ..ops.attention.decode_mla_v2 import (append_mla_pallas,
                                                append_mla_ref,
                                                decode_mla_pallas_v3_defer,
-                                               decode_mla_v2_ref)
+                                               decode_mla_v2_ref,
+                                               decode_mla_v3_int8_ref,
+                                               quant_latent_rows,
+                                               scatter_latent_scales)
 
     b = input_ids.shape[0]
     heads = cfg.num_heads
     lkv, lrope = cfg.kv_lora_rank, cfg.qk_rope_dim
     qn, kp = cfg.qk_nope_dim, cfg.qk_rope_dim
     ps = cfg.page_size
-    num_pages = kv_cache.shape[1]
-    c_pad = kv_cache.shape[-1]
+    int8_kv = isinstance(kv_cache, dict)
+    kv_arr = kv_cache["kv"] if int8_kv else kv_cache
+    kv_s = kv_cache["s"] if int8_kv else None
+    num_pages = kv_arr.shape[1]
+    c_pad = kv_arr.shape[-1]
     sm_scale = 1.0 / ((qn + kp) ** 0.5)
     fast = params["fast"]
     f_pad = fast["w2"]["q"].shape[2]   # padded intermediate (static shape)
@@ -395,11 +410,15 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
 
         if use_pallas():
             att = decode_mla_pallas_v3_defer(
-                q, new_latent, kv_cache, cached, block_table, sm_scale, ps,
-                lkv, layer_idx=li)
+                q, new_latent, kv_arr, cached, block_table, sm_scale, ps,
+                lkv, layer_idx=li, kv_scales=kv_s)
+        elif int8_kv:
+            att = decode_mla_v3_int8_ref(
+                q, kv_arr, kv_s, new_latent, cached, block_table, sm_scale,
+                ps, lkv, layer_idx=li)
         else:
             att = decode_mla_v2_ref(
-                q, kv_cache, new_latent, cached, block_table, sm_scale, ps,
+                q, kv_arr, new_latent, cached, block_table, sm_scale, ps,
                 lkv, layer_idx=li)
 
         if wukv_t:
@@ -437,7 +456,15 @@ def decode_step_c(params, cfg: MlaConfig, kv_cache,
 
     pages_b = jnp.where(slot_mapping >= 0, slot_mapping // ps, num_pages)
     offs_b = jnp.where(slot_mapping >= 0, slot_mapping % ps, 0)
-    if use_pallas():
+    if int8_kv:
+        new_q, new_s = quant_latent_rows(new_all)
+        if use_pallas():
+            kv_arr = append_mla_pallas(new_q, kv_arr, pages_b, offs_b)
+        else:
+            kv_arr = append_mla_ref(new_q, kv_arr, pages_b, offs_b)
+        kv_s = scatter_latent_scales(kv_s, new_s, pages_b, offs_b)
+        kv_cache = {"kv": kv_arr, "s": kv_s}
+    elif use_pallas():
         kv_cache = append_mla_pallas(new_all, kv_cache, pages_b, offs_b)
     else:
         kv_cache = append_mla_ref(new_all, kv_cache, pages_b, offs_b)

@@ -653,7 +653,15 @@ def decode_step_q(params, cfg: QwenNextConfig, state, input_ids, positions,
     fast = params["fast"]
     x = params["embed"][input_ids].astype(jnp.bfloat16)
 
-    new_conv, new_ssm, new_kc, new_vc = [], [], [], []
+    # ONE flat SSM pool threads through all GDN layers (rows gi*B..gi*B+B-1)
+    # so the Pallas recurrent step updates it in place via aliasing — the
+    # per-layer slice+stack of the f32 path would copy the whole pool per
+    # layer
+    ng = cfg.num_gdn_layers
+    ssm_shape = state["ssm"].shape
+    ssm_pool = state["ssm"].reshape((ssm_shape[0] * ssm_shape[1],)
+                                    + ssm_shape[2:])
+    new_conv, new_kc, new_vc = [], [], []
     gi = ai = 0
     for li in range(cfg.num_layers):
         if not cfg.is_full_attention(li):  # GDN block
@@ -669,9 +677,14 @@ def decode_step_q(params, cfg: QwenNextConfig, state, input_ids, positions,
             q = qkv[:, : hqk * dqk].reshape(b, 1, hqk, dqk)
             k = qkv[:, hqk * dqk:2 * hqk * dqk].reshape(b, 1, hqk, dqk)
             v = qkv[:, 2 * hqk * dqk:].reshape(b, 1, hv, dv)
-            o, ssm = gdn.fused_sigmoid_gating_delta_rule_update(
+            from ..utils import use_pallas
+            gdn_step = (gdn.fused_sigmoid_gating_delta_rule_update_pallas
+                        if use_pallas() and b >= 2
+                        else gdn.fused_sigmoid_gating_delta_rule_update)
+            o, ssm_pool = gdn_step(
                 p["A_log"], aa[:, None], p["dt_bias"], 1.0, 20.0,
-                q, k, v, bb[:, None], state["ssm"][gi], jnp.arange(b),
+                q, k, v, bb[:, None], ssm_pool,
+                gi * b + jnp.arange(b, dtype=jnp.int32),
                 use_qk_l2norm_in_kernel=True)
             o = gdn.layernorm_gated(
                 o.reshape(b, hv * dv), p["out_norm_w"], None,
@@ -679,7 +692,6 @@ def decode_step_q(params, cfg: QwenNextConfig, state, input_ids, positions,
                 is_rms_norm=True)
             x = x + _qmm_st(o.astype(jnp.bfloat16), fast["gdn_wo"], gi)
             new_conv.append(conv)
-            new_ssm.append(ssm)
             gi += 1
         else:  # full attention block
             p = jax.tree.map(lambda a: a[ai], params["attn"])
@@ -724,7 +736,7 @@ def decode_step_q(params, cfg: QwenNextConfig, state, input_ids, positions,
     logits = _qmm_st(x, fast["lm_head"], 0).astype(jnp.float32)
     state = {
         "conv": (jnp.stack(new_conv) if new_conv else state["conv"]),
-        "ssm": (jnp.stack(new_ssm) if new_ssm else state["ssm"]),
+        "ssm": ssm_pool.reshape(ssm_shape),
         "k_cache": (jnp.stack(new_kc) if new_kc else state["k_cache"]),
         "v_cache": (jnp.stack(new_vc) if new_vc else state["v_cache"]),
     }

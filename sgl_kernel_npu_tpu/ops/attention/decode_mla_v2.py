@@ -67,6 +67,45 @@ def decode_mla_v2_ref(q, kv_cache, new_latent, cached_lens, block_table,
     return jnp.einsum("bhn,bnc->bhc", p, rows[..., :lkv]).astype(q.dtype)
 
 
+def decode_mla_v3_int8_ref(q, kv_cache, kv_scales, new_latent, cached_lens,
+                           block_table, sm_scale, page_size, lkv,
+                           layer_idx=0):
+    """XLA twin of the INT8-latent grouped kernel: dequantize rows at gather
+    (kv_scales [L, P, 1, ps] per-token), fold the bf16 current token."""
+    kv_l = jax.lax.dynamic_index_in_dim(kv_cache, layer_idx, 0,
+                                        keepdims=False).astype(jnp.float32)
+    s_l = jax.lax.dynamic_index_in_dim(kv_scales, layer_idx, 0,
+                                       keepdims=False)
+    deq = (kv_l * jnp.transpose(s_l, (0, 2, 1))).astype(q.dtype)
+    return decode_mla_v2_ref(
+        q, deq[None], new_latent, cached_lens, block_table, sm_scale,
+        page_size, lkv, layer_idx=0)
+
+
+def quant_latent_rows(new):
+    """Per-row symmetric int8 quant of [L, B, C] latent rows -> (int8 rows,
+    f32 scales [L, B])."""
+    n32 = new.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(n32), axis=-1)
+    scale = jnp.maximum(amax, 1e-7) / 127.0
+    q = jnp.clip(jnp.round(n32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def scatter_latent_scales(kv_scales, new_scales, pages, offs):
+    """Dense masked-select scale update on [L, P, 1, ps] (the
+    scatter_scales_tm2 pattern: both where() operands are broadcasts, so XLA
+    fuses the update into one sweep). new_scales [L, B]."""
+    l, num_pages, _, ps = kv_scales.shape
+    b = pages.shape[0]
+    owner = jnp.full((num_pages,), -1, jnp.int32).at[pages].set(
+        jnp.arange(b, dtype=jnp.int32), mode="drop")
+    own_off = jnp.where(owner >= 0, offs[jnp.maximum(owner, 0)], -1)
+    mask = jnp.arange(ps, dtype=jnp.int32)[None, :] == own_off[:, None]
+    own = new_scales[:, jnp.maximum(owner, 0)]            # [L, P]
+    return jnp.where(mask[None, :, None, :], own[:, :, None, None], kv_scales)
+
+
 def _kernel_mla_v2(seq_ref, bt_ref, li_ref, q_ref, new_ref, kv_hbm, out_ref,
                    kvbuf, acc_ref, m_ref, l_ref, sems,
                    *, page_size, sm_scale, lkv, max_pages, batch, cp):
@@ -237,9 +276,15 @@ GROUP = int(__import__("os").environ.get("SKT_MLA_G", "8"))
 NBUF_G = int(__import__("os").environ.get("SKT_MLA_G_NBUF", "2"))
 
 
-def _kernel_mla_v3(seq_ref, bt_ref, li_ref, q_ref, new_ref, kv_hbm, out_ref,
-                   kvbuf, acc_ref, m_ref, l_ref, sems,
-                   *, page_size, sm_scale, lkv, max_pages, batch, cp, gsz):
+def _kernel_mla_v3(seq_ref, bt_ref, li_ref, q_ref, new_ref, kv_hbm, *rest,
+                   page_size, sm_scale, lkv, max_pages, batch, cp, gsz,
+                   int8_kv):
+    if int8_kv:
+        (s_hbm, out_ref, kvbuf, sbuf, acc_ref, m_ref, l_ref, sems,
+         ssems) = rest
+    else:
+        out_ref, kvbuf, acc_ref, m_ref, l_ref, sems = rest
+        s_hbm = sbuf = ssems = None
     ps = page_size
     h = q_ref.shape[1]
     c = q_ref.shape[2]
@@ -264,12 +309,21 @@ def _kernel_mla_v3(seq_ref, bt_ref, li_ref, q_ref, new_ref, kv_hbm, out_ref,
                         kvbuf.at[slot, g, pl.ds(j * ps, ps), :],
                         sems.at[slot, g, j])
                     copy.start() if start else copy.wait()
+                    if int8_kv:
+                        scopy = pltpu.make_async_copy(
+                            s_hbm.at[li_ref[0], page],
+                            sbuf.at[slot, g, :, pl.ds(j * ps, ps)],
+                            ssems.at[slot, g, j])
+                        scopy.start() if start else scopy.wait()
 
                 if start:
                     @pl.when(p * ps >= clen)
                     def _zero(j=j, g=g):
                         kvbuf[slot, g, pl.ds(j * ps, ps), :] = jnp.zeros(
                             (ps, c), kvbuf.dtype)
+                        if int8_kv:
+                            sbuf[slot, g, :, pl.ds(j * ps, ps)] = jnp.zeros(
+                                (1, ps), sbuf.dtype)
 
     def valid(s):
         # a group step is live if ANY member still has pages; per-member
@@ -302,17 +356,27 @@ def _kernel_mla_v3(seq_ref, bt_ref, li_ref, q_ref, new_ref, kv_hbm, out_ref,
         sc = jax.lax.dot_general(
             qg, kv, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # [g, h, cp*ps]
+        if int8_kv:
+            # per-token latent row scales multiply the score AND the PV
+            # weights (the v9 int8-KV pattern on the combined cache); dead
+            # lanes' stale-f32 NaNs are erased by the where() below / zeroing
+            svec = sbuf[slot].astype(jnp.float32)        # [g, 1, cp*ps]
+            sc = sc * svec
         sc = sc.reshape(gsz * h, cp * ps)
         col = ch * (cp * ps) + jax.lax.broadcasted_iota(
             jnp.int32, sc.shape, 1)
-        sc = jnp.where(col < clen_rows(grp), sc * sm_scale, _NEG_INF)
+        live = col < clen_rows(grp)
+        sc = jnp.where(live, sc * sm_scale, _NEG_INF)
         m_prev = m_ref[...]
         mh = jnp.maximum(m_prev, jnp.max(sc, -1, keepdims=True))
         alpha = jnp.exp(m_prev - mh)
         pexp = jnp.exp(sc - mh)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, -1, keepdims=True)
+        p3 = pexp.reshape(gsz, h, cp * ps)
+        if int8_kv:
+            p3 = p3 * svec          # dead-page scales are zero-filled
         o = jax.lax.dot_general(
-            pexp.reshape(gsz, h, cp * ps).astype(jnp.bfloat16), kv[:, :, :lkv],
+            p3.astype(jnp.bfloat16), kv[:, :, :lkv],
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # [g, h, lkv]
         acc_ref[...] = acc_ref[...] * alpha + o.reshape(gsz * h, lkv)
@@ -344,7 +408,8 @@ def _kernel_mla_v3(seq_ref, bt_ref, li_ref, q_ref, new_ref, kv_hbm, out_ref,
 
 def decode_mla_pallas_v3_defer(q, new_latent, kv_cache, cached_lens,
                                block_table, sm_scale, page_size, lkv,
-                               layer_idx=0, chunk_pages=None, group=None):
+                               layer_idx=0, chunk_pages=None, group=None,
+                               kv_scales=None):
     """Group-batched combined-cache MLA decode: G sequences per fori step.
 
     v2 at the bench dims ran 128 one-sequence iterations per layer whose
@@ -353,40 +418,57 @@ def decode_mla_pallas_v3_defer(q, new_latent, kv_cache, cached_lens,
     floor). v3 fetches G sequences' pages per step (G*cp DMAs, one ring
     slot), scores them as ONE batched [G, h, c] x [G, cp*ps, c] MXU dot, and
     runs the online softmax on a [G*h, cp*ps] matrix — 1/G the iterations,
-    the same bytes. Same contract as decode_mla_pallas_v2_defer."""
+    the same bytes. Same contract as decode_mla_pallas_v2_defer.
+
+    kv_scales: optional [L, P, 1, ps] f32 per-token row scales — the cache is
+    then INT8 (the reference's quantized-latent cache_mode, halving the KV
+    stream); the current token's latent still folds in bf16 from registers.
+    """
     b, h, c = q.shape
     l, num_pages, ps, c2 = kv_cache.shape
     assert c2 == c and ps == page_size
+    int8_kv = kv_scales is not None
     max_pages = block_table.shape[1]
     cp = min(max_pages, chunk_pages or CHUNK_PAGES)
     gsz = group or GROUP
     while b % gsz:
         gsz //= 2
     if gsz <= 1:
+        assert not int8_kv, "int8 latent cache requires the grouped kernel"
         return decode_mla_pallas_v2_defer(
             q, new_latent, kv_cache, cached_lens, block_table, sm_scale,
             page_size, lkv, layer_idx=layer_idx, chunk_pages=chunk_pages)
 
+    in_specs = [
+        pl.BlockSpec((b, h, c), lambda i, *_: (0, 0, 0)),
+        pl.BlockSpec((b, 1, c), lambda i, *_: (0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [q, new_latent.astype(q.dtype)[:, None, :], kv_cache]
+    scratch = [
+        pltpu.VMEM((NBUF_G, gsz, cp * ps, c), kv_cache.dtype),
+        pltpu.VMEM((gsz * h, lkv), jnp.float32),
+        pltpu.VMEM((gsz * h, 1), jnp.float32),
+        pltpu.VMEM((gsz * h, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA((NBUF_G, gsz, cp)),
+    ]
+    if int8_kv:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(kv_scales)
+        scratch.insert(1, pltpu.VMEM((NBUF_G, gsz, 1, cp * ps), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((NBUF_G, gsz, cp)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec((b, h, c), lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec((b, 1, c), lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b, h, lkv), lambda i, *_: (0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF_G, gsz, cp * ps, c), kv_cache.dtype),
-            pltpu.VMEM((gsz * h, lkv), jnp.float32),
-            pltpu.VMEM((gsz * h, 1), jnp.float32),
-            pltpu.VMEM((gsz * h, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF_G, gsz, cp)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         partial(_kernel_mla_v3, page_size=page_size, sm_scale=sm_scale,
-                lkv=lkv, max_pages=max_pages, batch=b, cp=cp, gsz=gsz),
+                lkv=lkv, max_pages=max_pages, batch=b, cp=cp, gsz=gsz,
+                int8_kv=int8_kv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, lkv), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -394,14 +476,14 @@ def decode_mla_pallas_v3_defer(q, new_latent, kv_cache, cached_lens,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * max_pages * ps * (c + lkv),
-            bytes_accessed=b * max_pages * ps * c * 2,
+            bytes_accessed=b * max_pages * ps * c * kv_cache.dtype.itemsize,
             transcendentals=b * h * max_pages * ps,
         ),
         interpret=interpret_mode(),
     )(jnp.maximum(cached_lens, 0).astype(jnp.int32),
       block_table.astype(jnp.int32),
       jnp.asarray(layer_idx, jnp.int32)[None],
-      q, new_latent.astype(q.dtype)[:, None, :], kv_cache)
+      *operands)
 
 
 ALIGN = 8   # Mosaic ps-dim row-slice alignment (decode_v8 chip probe)

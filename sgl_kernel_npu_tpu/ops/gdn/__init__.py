@@ -12,4 +12,7 @@ from .gating import (  # noqa: F401
     layernorm_gated,
 )
 from .recurrent import recurrent_gated_delta_rule  # noqa: F401
+from .recurrent_pallas import (  # noqa: F401
+    fused_sigmoid_gating_delta_rule_update_pallas,
+)
 from .tri_inv import inv_unit_lower, solve_tril, tri_inv_col_sweep  # noqa: F401

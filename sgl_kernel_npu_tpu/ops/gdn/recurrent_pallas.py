@@ -1,0 +1,196 @@
+"""Fused recurrent gated-delta-rule decode step (Pallas).
+
+Reference parity: csrc/recurrent_gated_delta_rule/op_kernel/
+recurrent_gated_delta_rule_kernel.cpp + fused_sigmoid_gating_recurrent.py —
+one kernel performs gate-decay, delta update and output projection against
+the paged SSM state.
+
+Why a kernel (VERDICT r4 next-2): the XLA composition in gating.py
+materializes the [B, HV, K, V] f32 state several times per layer — at the
+Qwen r3 dims that is ~2 GB/layer/step of avoidable HBM traffic and the
+decode step measured 151 ms (2026-08-21). Here each sequence's state tile
+streams VMEM-ward ONCE (bf16), the whole recurrence happens on the VPU, and
+the updated tile streams back: the per-layer traffic drops to the 2x state
+size floor. G sequences ride each fori body (the decode_mla_v3 grouping) so
+DMA issue overhead amortizes.
+
+Math (per sequence, per value-head; matches gating.py exactly):
+  s *= exp(g);  kv = k . s;  delta = (v - kv) * beta
+  s += k^T delta;  o = (q * scale) . s
+with optional in-kernel qk L2 norm and GQA head replication (HV = r * H).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils import interpret_mode
+
+GROUP = int(__import__("os").environ.get("SKT_GDN_G", "4"))
+NBUF = int(__import__("os").environ.get("SKT_GDN_NBUF", "2"))
+
+
+def _kernel(idx_ref, q_ref, k_ref, v_ref, g_ref, b_ref, pool_hbm, out_ref,
+            pool_out, sbuf, sems, wsems, *, batch, hv, kd, vd, gsz, pool,
+            scale, l2norm, rep):
+    h = hv // rep                     # qk heads
+    ngroups = batch // gsz
+    total = ngroups
+
+    def dma(slot, grp, start, out):
+        for gg in range(gsz):
+            b = grp * gsz + gg
+            pi = jnp.clip(idx_ref[b], 0, pool - 1)
+            sem = (wsems if out else sems).at[slot, gg]
+            ref = pool_out if out else pool_hbm
+            cp = pltpu.make_async_copy(
+                sbuf.at[slot, gg] if out else ref.at[pi],
+                ref.at[pi] if out else sbuf.at[slot, gg], sem)
+            if out:
+                # invalid slots (idx < 0) read the clipped row (matching the
+                # XLA twin's clip-gather) but never write back
+                @pl.when(idx_ref[b] >= 0)
+                def _():
+                    cp.start() if start else cp.wait()
+            else:
+                cp.start() if start else cp.wait()
+
+    for s0 in range(min(NBUF, total)):
+        dma(s0 % NBUF, jnp.int32(s0), True, False)
+
+    def body(grp, _):
+        slot = jax.lax.rem(grp, NBUF)
+
+        # before overwriting this slot's buffer, its previous occupant's
+        # write-back must have landed
+        @pl.when(grp >= NBUF)
+        def _drain():
+            dma(slot, grp - NBUF, False, True)
+
+        dma(slot, grp, False, False)
+
+        b0 = grp * gsz
+        gh = gsz * hv
+        # all values stay 3-D with only middle-singleton reshapes (the ks3
+        # pattern proven by decode_v11 on chip) and batched dots
+        qf = q_ref[pl.ds(b0, gsz)].astype(jnp.float32)    # [g, h, kd]
+        kf = k_ref[pl.ds(b0, gsz)].astype(jnp.float32)
+        vf = v_ref[pl.ds(b0, gsz)].astype(jnp.float32)    # [g, hv, vd]
+        if l2norm:
+            qf = qf * jax.lax.rsqrt(
+                jnp.sum(qf * qf, -1, keepdims=True) + 1e-6)
+            kf = kf * jax.lax.rsqrt(
+                jnp.sum(kf * kf, -1, keepdims=True) + 1e-6)
+        qf = qf * scale
+        if rep > 1:
+            # GQA replication h -> hv (same None-insert tm2's merge uses)
+            qf = jnp.broadcast_to(qf[:, :, None, :], (gsz, h, rep, kd)
+                                  ).reshape(gsz, hv, kd)
+            kf = jnp.broadcast_to(kf[:, :, None, :], (gsz, h, rep, kd)
+                                  ).reshape(gsz, hv, kd)
+        q3 = qf.reshape(gh, kd).reshape(gh, 1, kd)
+        k3 = kf.reshape(gh, kd).reshape(gh, 1, kd)
+        v3 = vf.reshape(gh, vd).reshape(gh, 1, vd)
+        # g/beta arrive PRE-BROADCAST to vd lanes ([B, hv, vd] f32)
+        alpha3 = jnp.exp(g_ref[pl.ds(b0, gsz)]).reshape(gh, vd).reshape(
+            gh, 1, vd)
+        beta3 = b_ref[pl.ds(b0, gsz)].reshape(gh, vd).reshape(gh, 1, vd)
+
+        s = sbuf[slot].astype(jnp.float32).reshape(gh, kd, vd)
+        s = s * alpha3
+        kv = jax.lax.dot_general(
+            k3, s, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [gh, 1, vd]
+        delta = (v3 - kv) * beta3
+        s = s + jax.lax.dot_general(
+            k3, delta, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # outer [gh, kd, vd]
+        o = jax.lax.dot_general(
+            q3, s, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [gh, 1, vd]
+        out_ref[pl.ds(b0, gsz)] = o.reshape(gsz, hv, vd).astype(out_ref.dtype)
+        sbuf[slot] = s.reshape(gsz, hv, kd, vd).astype(sbuf.dtype)
+        dma(slot, grp, True, True)
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+    # drain the last NBUF write-backs
+    for st in range(min(NBUF, total)):
+        grp = total - 1 - st
+        dma(jax.lax.rem(jnp.int32(grp), NBUF), jnp.int32(grp), False, True)
+
+
+def fused_sigmoid_gating_delta_rule_update_pallas(
+        A_log, a, dt_bias, softplus_beta, softplus_threshold,
+        q, k, v, b, initial_state_source, initial_state_indices,
+        scale=None, use_qk_l2norm_in_kernel=False, group=None):
+    """Pallas twin of gating.fused_sigmoid_gating_delta_rule_update (same
+    contract): the gating math (tiny [B, HV]) stays in XLA; the state-heavy
+    recurrence runs in the kernel with each state tile touched once."""
+    from .gating import fused_gdn_gating
+
+    bsz = q.shape[0]
+    h = q.shape[2]
+    hv = v.shape[2]
+    kd = q.shape[-1]
+    vd = v.shape[-1]
+    rep = hv // h
+    pool = initial_state_source.shape[0]
+    if scale is None:
+        scale = kd ** -0.5
+
+    g, beta = fused_gdn_gating(
+        A_log, a.reshape(bsz, hv), b.reshape(bsz, hv), dt_bias,
+        softplus_beta, softplus_threshold)
+
+    gsz = group or GROUP
+    while bsz % gsz:
+        gsz //= 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((bsz, h, kd), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((bsz, h, kd), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((bsz, hv, vd), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((bsz, hv, vd), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((bsz, hv, vd), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((bsz, hv, vd), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, gsz, hv, kd, vd), initial_state_source.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, gsz)),
+            pltpu.SemaphoreType.DMA((NBUF, gsz)),
+        ],
+    )
+    o, new_pool = pl.pallas_call(
+        partial(_kernel, batch=bsz, hv=hv, kd=kd, vd=vd, gsz=gsz, pool=pool,
+                scale=scale, l2norm=use_qk_l2norm_in_kernel, rep=rep),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, hv, vd), q.dtype),
+            jax.ShapeDtypeStruct(initial_state_source.shape,
+                                 initial_state_source.dtype),
+        ],
+        input_output_aliases={6: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret_mode(),
+    )(initial_state_indices.astype(jnp.int32),
+      q.reshape(bsz, h, kd), k.reshape(bsz, h, kd), v.reshape(bsz, hv, vd),
+      jnp.broadcast_to(g.astype(jnp.float32)[..., None], (bsz, hv, vd)),
+      jnp.broadcast_to(beta.astype(jnp.float32)[..., None], (bsz, hv, vd)),
+      initial_state_source)
+    return o.reshape(bsz, 1, hv, vd), new_pool

@@ -205,3 +205,35 @@ def test_chunk_local_cumsum(rng):
         seg = g[:, lo:lo + 4]
         golden_r[:, lo:lo + 4] = np.flip(np.cumsum(np.flip(seg, 1), 1), 1)
     assert_close(out_r, golden_r, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gdn_update_pallas_vs_xla(rng, monkeypatch):
+    """Pallas fused recurrent step vs the XLA composition (same contract),
+    incl. GQA replication, bf16 state pool and an invalid (-1) slot."""
+    monkeypatch.setenv("SKT_IMPL", "pallas")
+    import jax
+    from sgl_kernel_npu_tpu.ops import gdn as g
+
+    b, h, hv, kd, vd, pool = 8, 4, 8, 32, 32, 10
+    A_log = jnp.asarray(rng.standard_normal(hv) * 0.2, jnp.float32)
+    dt_bias = jnp.asarray(rng.standard_normal(hv) * 0.2, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, kd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, 1, h, kd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, 1, hv, vd)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((b, 1, hv)), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((b, 1, hv)), jnp.float32)
+    st = jnp.asarray(rng.standard_normal((pool, hv, kd, vd)) * 0.3,
+                     jnp.bfloat16)
+    idx = jnp.asarray([0, 1, 2, 3, 4, 5, -1, 7], jnp.int32)
+
+    o_ref, st_ref = g.fused_sigmoid_gating_delta_rule_update(
+        A_log, a, dt_bias, 1.0, 20.0, q, k, v, bb, st, idx,
+        use_qk_l2norm_in_kernel=True)
+    o_p, st_p = g.fused_sigmoid_gating_delta_rule_update_pallas(
+        A_log, a, dt_bias, 1.0, 20.0, q, k, v, bb, st, idx,
+        use_qk_l2norm_in_kernel=True)
+    from .utils import calc_diff
+    assert calc_diff(np.asarray(o_p, np.float32),
+                     np.asarray(o_ref, np.float32)) < 1e-3
+    assert calc_diff(np.asarray(st_p, np.float32),
+                     np.asarray(st_ref, np.float32)) < 1e-3

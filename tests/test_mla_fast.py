@@ -139,3 +139,36 @@ def test_decode_mla_v3_grouped_vs_ref(rng, monkeypatch):
         q5, new5, cache, cached5, bt5, 0.1, ps, lkv, group=8)
     ref = v2.decode_mla_v2_ref(q5, cache, new5, cached5, bt5, 0.1, ps, lkv)
     assert calc_diff(out, ref) < 1e-4
+
+
+@pytest.mark.parametrize("impl", ["ref", "pallas"])
+def test_mla_fast_decode_int8_latent(rng, monkeypatch, impl):
+    """INT8 combined latent cache (the reference's quantized-latent
+    cache_mode): logits must track the bf16-cache fast path within
+    quantization tolerance across a greedy trajectory."""
+    monkeypatch.setenv("SKT_IMPL", impl)
+    cfg = dm.tiny_config()
+    params = dm.pretile_mla_weights(dm.init_params(cfg), cfg)
+    b, mp_ = 8, 3
+    num_pages = b * mp_ + 1
+    kv16 = dm.init_kv_cache_combined(cfg, num_pages)
+    kv8 = dm.init_kv_cache_combined(cfg, num_pages, quant="int8")
+    bt = jnp.asarray(rng.permutation(num_pages - 1)[: b * mp_]
+                     .reshape(b, mp_) + 1, jnp.int32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, b), jnp.int32)
+    ps = cfg.page_size
+    fast = jax.jit(lambda p, c, i, po, s, bt_, sm: dm.decode_step_c(
+        p, cfg, c, i, po, s, bt_, sm))
+
+    for n in range(1, 5):
+        seq = jnp.full((b,), n, jnp.int32)
+        pos = seq - 1
+        slots = bt[jnp.arange(b), pos // ps] * ps + pos % ps
+        l16, kv16 = fast(params, kv16, ids, pos, seq, bt, slots)
+        l8, kv8 = fast(params, kv8, ids, pos, seq, bt, slots)
+        d = calc_diff(l8, l16)
+        assert d < 5e-3, (n, d)
+        assert np.all(np.isfinite(np.asarray(l8)))
+        ids = jnp.argmax(l16, -1).astype(jnp.int32)
+    # scales landed for the written slots
+    assert float(jnp.sum(kv8["s"])) > 0
