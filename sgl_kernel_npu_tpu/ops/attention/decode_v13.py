@@ -65,6 +65,17 @@ def _kernel_v13_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
             b = grp * gsz + gg
             clen = seq_ref[b]
             page = bt_ref[b, c]
+            # K/V data: live-gated sub-chunks (the bytes that matter);
+            # scales: one whole-page DMA each — a [hkv, sub] f32 slice is a
+            # 4 KB descriptor, so sub-chunking them COSTS more issue
+            # overhead than the bytes it saves
+            @pl.when(c * ps < clen)
+            def _scales(gg=gg, page=page):
+                for hbm, buf, i in ((ks_hbm, ksbuf, 2), (vs_hbm, vsbuf, 3)):
+                    copy = pltpu.make_async_copy(
+                        hbm.at[li, page], buf.at[slot, gg],
+                        sems.at[slot, gg, 0, i])
+                    copy.start() if start else copy.wait()
             for j in range(nsub):
                 @pl.when(c * ps + j * sub < clen)
                 def _one(j=j, gg=gg, page=page):
@@ -72,12 +83,6 @@ def _kernel_v13_int8(seq_ref, bt_ref, li_ref, q_ref, kn_ref, vn_ref,
                         copy = pltpu.make_async_copy(
                             hbm.at[li, page, :, pl.ds(j * sub, sub), :],
                             buf.at[slot, gg, :, pl.ds(j * sub, sub), :],
-                            sems.at[slot, gg, j, i])
-                        copy.start() if start else copy.wait()
-                    for hbm, buf, i in ((ks_hbm, ksbuf, 2), (vs_hbm, vsbuf, 3)):
-                        copy = pltpu.make_async_copy(
-                            hbm.at[li, page, :, pl.ds(j * sub, sub)],
-                            buf.at[slot, gg, :, pl.ds(j * sub, sub)],
                             sems.at[slot, gg, j, i])
                         copy.start() if start else copy.wait()
 

@@ -47,7 +47,10 @@ def _kernel(idx_ref, q_ref, k_ref, v_ref, g_ref, b_ref, pool_hbm, out_ref,
             b = grp * gsz + gg
             pi = jnp.clip(idx_ref[b], 0, pool - 1)
             sem = (wsems if out else sems).at[slot, gg]
-            ref = pool_out if out else pool_hbm
+            # ALL access goes through the aliased OUTPUT ref — the donated
+            # input ref is not a valid device address (the append kernels'
+            # pattern; reading pool_hbm faulted the TPU worker 2026-08-21)
+            ref = pool_out
             cp = pltpu.make_async_copy(
                 sbuf.at[slot, gg] if out else ref.at[pi],
                 ref.at[pi] if out else sbuf.at[slot, gg], sem)
@@ -66,11 +69,15 @@ def _kernel(idx_ref, q_ref, k_ref, v_ref, g_ref, b_ref, pool_hbm, out_ref,
     def body(grp, _):
         slot = jax.lax.rem(grp, NBUF)
 
-        # before overwriting this slot's buffer, its previous occupant's
-        # write-back must have landed
+        # slot reuse: the previous occupant's write-back must land before its
+        # buffer can take my read — so reads for grp >= NBUF start HERE (the
+        # drain gates them; the prologue covered grps 0..NBUF-1). The ~1 us
+        # read stall is the price of in-place state update; NBUF deep rings
+        # keep the earlier groups' computes overlapping the writes.
         @pl.when(grp >= NBUF)
-        def _drain():
+        def _prep():
             dma(slot, grp - NBUF, False, True)
+            dma(slot, grp, True, False)
 
         dma(slot, grp, False, False)
 
