@@ -30,6 +30,7 @@ Multi-LoRA adapters apply to the attention output projection via ops.lora.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
@@ -486,8 +487,8 @@ def init_params_q(cfg: QwenNextConfig, seed: int = 0):
     def w(*shape, s=0.05):
         return jnp.asarray(rng.standard_normal(shape) * s, jnp.float32)
 
-    def bank_np(l, k, n, s=0.05):
-        cands = [c for c in range(min(bn, n), 0, -128) if n % c == 0]
+    def bank_np(l, k, n, s=0.05, bn_max=None):
+        cands = [c for c in range(min(bn_max or bn, n), 0, -128) if n % c == 0]
         bn_i = cands[0] if cands else n
         q = jnp.asarray(rng.integers(-127, 128, (l, n // bn_i, k, bn_i),
                                      dtype=np.int8))
@@ -533,8 +534,11 @@ def init_params_q(cfg: QwenNextConfig, seed: int = 0):
             "attn_wo": bank_np(na, cfg.num_heads * cfg.head_dim, h),
             "shared_w13": bank_np(nl, h, 2 * fs),
             "shared_w2": bank_np(nl, fs, h),
-            "experts_w13": bank_np(nl * e, h, 2 * f),
-            "experts_w2": bank_np(nl * e, f, h),
+            # 1024-wide expert panels: halves the grouped-GMM grid steps
+            # (per-iteration overhead was ~half the GMM time, trace
+            # 2026-08-21)
+            "experts_w13": bank_np(nl * e, h, 2 * f, bn_max=1024),
+            "experts_w2": bank_np(nl * e, f, h, bn_max=1024),
             "lm_head": bank_np(1, h, cfg.vocab_size, s=0.02),
         },
     }
@@ -581,14 +585,21 @@ def _moe_mlp_q(x, params, cfg: QwenNextConfig, li: int):
 
     cap = t * k
     if use_pallas():
-        tile = 128
+        # m-tile 32: int8's native (32, 128) tile, and the padded row count
+        # drops ~3.3x vs tile=128 (every [cap_pad, *] elementwise pass pays
+        # the padding inflation — qwen trace 2026-08-21)
+        tile = int(os.environ.get("SKT_QWEN_TILE", "32"))
         tight_off = jnp.cumsum(group_list) - group_list
         al_sizes = ((group_list + tile - 1) // tile) * tile
         incl = jnp.cumsum(al_sizes)
         al_off = incl - al_sizes
         cap_pad = ((cap + tile - 1) // tile + e) * tile        # static
         j = jnp.arange(cap_pad, dtype=jnp.int32)
-        eix = jnp.clip(jnp.searchsorted(incl, j, side="right"), 0, e - 1)
+        # compare-sum instead of jnp.searchsorted: the searchsorted lowering
+        # ran at ~1 ms per s32[17664] call on the v5e (18.9 ms/step total,
+        # trace 2026-08-21); #(incl <= j) is a [cap_pad, e] VPU pass
+        eix = jnp.clip(jnp.sum((incl[None, :] <= j[:, None]).astype(jnp.int32),
+                               axis=1), 0, e - 1)
         idx = j - al_off[eix]
         ok = idx < group_list[eix]
         pos = jnp.clip(tight_off[eix] + idx, 0, cap - 1)
@@ -596,24 +607,27 @@ def _moe_mlp_q(x, params, cfg: QwenNextConfig, li: int):
         tok = src // k
         xg = jnp.where(ok[:, None], xq[tok], 0)
         xsg = jnp.where(ok[:, None], xs[tok], 0.0)
-        eid = jnp.clip(jnp.searchsorted(
-            incl, jnp.arange(cap_pad // tile, dtype=jnp.int32) * tile,
-            side="right"), 0, e - 1) + li * e
+        jt = jnp.arange(cap_pad // tile, dtype=jnp.int32) * tile
+        eid = jnp.clip(jnp.sum((incl[None, :] <= jt[:, None]).astype(
+            jnp.int32), axis=1), 0, e - 1) + li * e
         ug = grouped_matmul_int8_pallas(
             xg, fast["experts_w13"]["q"], xsg,
-            fast["experts_w13"]["scale"], eid)
+            fast["experts_w13"]["scale"], eid, block_m=tile, block_k=1024)
         g32 = ug.astype(jnp.float32)
         act = g32[:, :f] * jax.nn.sigmoid(g32[:, :f]) * g32[:, f:]
         actq, acts = per_token_quant_int8(act)
         acts = jnp.where(ok[:, None], acts, 0.0)
         y = grouped_matmul_int8_pallas(
             actq, fast["experts_w2"]["q"], acts,
-            fast["experts_w2"]["scale"], eid)
-        wrow = topw.reshape(-1)[src]
+            fast["experts_w2"]["scale"], eid, block_m=tile, block_k=1024)
+        # inverse-gather combine: scatter only ROW INDICES (tiny s32), then
+        # gather the value rows — the [cap+1, H] f32 row scatter this
+        # replaces cost 7.5 ms/step (XLA row-scatter serialization)
         flat_idx = jnp.where(ok, src, cap)
-        buf = jnp.zeros((cap + 1, h), jnp.float32).at[flat_idx].set(
-            y.astype(jnp.float32) * wrow[:, None], mode="drop")
-        routed = buf[:cap].reshape(t, k, h).sum(1)
+        inv = jnp.zeros((cap + 1,), jnp.int32).at[flat_idx].set(
+            j, mode="drop")[:cap]
+        rows = y[inv].astype(jnp.float32)                      # [cap, H]
+        routed = (rows * topw.reshape(-1)[:, None]).reshape(t, k, h).sum(1)
     else:
         # reference tier: tight sort + ragged grouped GEMM on the un-tiled
         # per-layer expert slice (tests / CPU)
