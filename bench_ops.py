@@ -125,12 +125,31 @@ def device_time(fn, x, nrep=6):
     if not dev:
         dev = [e for e in tr["traceEvents"]
                if e.get("ph") == "X" and e.get("name", "").startswith("fnp")]
+    if not dev:
+        # all-XLA paths have no fn* jit spans: take the XLA-Ops track
+        # envelope / nrep instead (same fallback bench.py's moe parser uses)
+        pid_ok = {e["pid"] for e in tr["traceEvents"]
+                  if e.get("ph") == "M" and e.get("name") == "process_name"
+                  and ("TPU" in e["args"].get("name", "")
+                       or "XLA" in e["args"].get("name", ""))}
+        tids = {(e["pid"], e["tid"]) for e in tr["traceEvents"]
+                if e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e["pid"] in pid_ok
+                and e["args"].get("name", "") == "XLA Ops"}
+        top = [e for e in tr["traceEvents"]
+               if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in tids]
+        if top:
+            t0 = min(e["ts"] for e in top)
+            t1 = max(e["ts"] + e["dur"] for e in top)
+            return (t1 - t0) / nrep / 1e6
+        return float("nan")
     return sum(e["dur"] for e in dev) / max(nrep, 1) / 1e6
 
 
 def report(name, sec, bytes_moved=0, flops=0, int_ops=False, extra=None):
     from sgl_kernel_npu_tpu.utils import get_device_properties
     props = get_device_properties()
+    sec = max(float(sec), 1e-9) if sec == sec else 1e-9   # NaN/0 guard
     gbps = bytes_moved / sec / 1e9 if bytes_moved else 0.0
     tflops = flops / sec / 1e12 if flops else 0.0
     peak_t = props.int8_tops if int_ops else props.bf16_tflops
