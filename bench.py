@@ -293,8 +293,11 @@ def run_bench_mla(args):
     if fast:
         # the r5 fast path: pre-tiled closure-invariant banks + combined
         # latent cache + page-chunked mega-stream attention + deferred append
-        # (models/deepseek_mla.py::decode_step_c)
-        params = dm.pretile_mla_weights(params, cfg)
+        # (models/deepseek_mla.py::decode_step_c). 1024-wide panels measured
+        # best at the MLA shapes (12,638 -> 12,890 tok/s, 2026-08-21);
+        # llama keeps its own 512 default.
+        params = dm.pretile_mla_weights(
+            params, cfg, block_n=int(os.environ.get("SKT_GEMM_BN", "1024")))
     elif os.environ.get("SKT_FUSED_RMSQ", "1") != "0":
         # fused RMSNormQuant->GEMM stages inside mla_preprocess
         params = dm.fuse_mla_weights(params)
